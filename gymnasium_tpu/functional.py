@@ -55,6 +55,14 @@ class FuncEnv(Generic[StateType, ObsType, ActType, RewardType, TerminalType, Ren
     observation_space: Any
     action_space: Any
 
+    #: Hooks that actually consume their PRNG key. Subclasses with
+    #: deterministic dynamics shrink this (e.g. ``{"initial"}``) so the
+    #: compiled batched step skips per-env key splits for the rest — on a
+    #: trivial env the threefry work is a real fraction of the step cost.
+    rng_hooks: frozenset[str] = frozenset(
+        {"initial", "transition", "observation", "reward", "terminal"}
+    )
+
     def __init__(self, options: dict[str, Any] | None = None):
         self.__dict__.update(options or {})
 
@@ -152,24 +160,46 @@ def vectorize_func_env(func_env: FuncEnv, num_envs: int) -> FuncEnv:
     batched = FuncEnv.__new__(type(func_env))
     batched.__dict__.update(func_env.__dict__)
 
-    v_initial = jax.vmap(func_env.initial, in_axes=(0, None))
-    v_transition = jax.vmap(func_env.transition, in_axes=(0, 0, 0, None))
-    v_observation = jax.vmap(func_env.observation, in_axes=(0, 0, None))
-    v_reward = jax.vmap(func_env.reward, in_axes=(0, 0, 0, 0, None))
-    v_terminal = jax.vmap(func_env.terminal, in_axes=(0, 0, None))
+    needs_rng = func_env.rng_hooks
 
     def split(rng):
         return jax.random.split(rng, num_envs)
 
-    batched.initial = lambda rng, params=None: v_initial(split(rng), params)
+    def rng_axis(hook: str):
+        # Deterministic hooks broadcast the parent key instead of paying a
+        # per-env split; their key argument is unused by construction.
+        return 0 if hook in needs_rng else None
+
+    def keys(hook: str, rng):
+        return split(rng) if hook in needs_rng else rng
+
+    # An env may provide a natively-batched `initial_batched(rng, n, params)`
+    # (single fused RNG draw for the whole batch) — much cheaper than N
+    # vmapped splits when resets are folded into every compiled step.
+    initial_batched = getattr(func_env, "initial_batched", None)
+
+    v_initial = jax.vmap(func_env.initial, in_axes=(rng_axis("initial"), None))
+    v_transition = jax.vmap(func_env.transition, in_axes=(0, 0, rng_axis("transition"), None))
+    v_observation = jax.vmap(func_env.observation, in_axes=(0, rng_axis("observation"), None))
+    v_reward = jax.vmap(func_env.reward, in_axes=(0, 0, 0, rng_axis("reward"), None))
+    v_terminal = jax.vmap(func_env.terminal, in_axes=(0, rng_axis("terminal"), None))
+
+    if initial_batched is not None:
+        batched.initial = lambda rng, params=None: initial_batched(rng, num_envs, params)
+    else:
+        batched.initial = lambda rng, params=None: v_initial(keys("initial", rng), params)
     batched.transition = lambda state, action, rng, params=None: v_transition(
-        state, action, split(rng), params
+        state, action, keys("transition", rng), params
     )
-    batched.observation = lambda state, rng, params=None: v_observation(state, split(rng), params)
+    batched.observation = lambda state, rng, params=None: v_observation(
+        state, keys("observation", rng), params
+    )
     batched.reward = lambda state, action, next_state, rng, params=None: v_reward(
-        state, action, next_state, split(rng), params
+        state, action, next_state, keys("reward", rng), params
     )
-    batched.terminal = lambda state, rng, params=None: v_terminal(state, split(rng), params)
+    batched.terminal = lambda state, rng, params=None: v_terminal(
+        state, keys("terminal", rng), params
+    )
     batched.num_envs = num_envs
     return batched
 

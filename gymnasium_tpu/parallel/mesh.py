@@ -1,0 +1,82 @@
+"""Device-mesh construction and env-batch sharding.
+
+The reference's entire parallelism story is multiprocessing pipes
+(SURVEY.md §5.8). Here the equivalent is a ``jax.sharding.Mesh`` with the
+env batch laid out over a ``dp`` axis (and the learner's hidden dimension
+optionally over ``tp``); the same compiled step then runs SPMD with XLA
+inserting collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_env_batch", "replicated", "shard_ppo_state"]
+
+
+def make_mesh(
+    devices: Sequence[jax.Device] | None = None,
+    tp: int = 1,
+) -> Mesh:
+    """A ``(dp, tp)`` mesh over ``devices`` (default: all local devices).
+
+    ``tp`` splits off a tensor-parallel axis for the learner; the remaining
+    devices form the data-parallel env axis.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    assert n % tp == 0, f"device count {n} not divisible by tp={tp}"
+    grid = np.asarray(devices).reshape(n // tp, tp)
+    return Mesh(grid, ("dp", "tp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Sharding that replicates a pytree over the whole mesh."""
+    return NamedSharding(mesh, P())
+
+
+def shard_env_batch(tree: Any, mesh: Mesh, batch_size: int | None = None, axis: str = "dp") -> Any:
+    """Place a batched env pytree with its leading axis split over ``axis``.
+
+    Leaves whose leading dimension equals ``batch_size`` (inferred from the
+    largest common leading dim when ``None``) shard over ``axis``; everything
+    else — scalars, shared PRNG keys — replicates.
+    """
+    leaves = jax.tree_util.tree_leaves(tree)
+    if batch_size is None:
+        dims = [leaf.shape[0] for leaf in leaves if getattr(leaf, "ndim", 0) >= 1]
+        assert dims, "cannot infer batch size from a tree of scalars"
+        batch_size = max(set(dims), key=dims.count)
+
+    def put(leaf):
+        leaf = jax.numpy.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[0] == batch_size:
+            spec = P(axis, *([None] * (leaf.ndim - 1)))
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def shard_ppo_state(state: Any, mesh: Mesh) -> Any:
+    """Lay out a :class:`~gymnasium_tpu.train.PPOState` on ``mesh``.
+
+    Env carry (including its batched PRNG state) shards over ``dp``; params
+    and optimizer state replicate (sharding the MLP hidden axis over ``tp``
+    is profitable only for much larger models — XLA still runs the replicated
+    matmuls data-parallel over the dp-sharded batch).
+    """
+    from gymnasium_tpu.train.ppo import PPOState
+
+    return PPOState(
+        params=jax.device_put(state.params, replicated(mesh)),
+        opt_state=jax.device_put(state.opt_state, replicated(mesh)),
+        env_carry=shard_env_batch(state.env_carry, mesh),
+        rng=jax.device_put(state.rng, replicated(mesh)),
+        update_count=jax.device_put(state.update_count, replicated(mesh)),
+    )

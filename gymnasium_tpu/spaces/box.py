@@ -157,19 +157,25 @@ class Box(Space[np.ndarray]):
 
         return sample.astype(self.dtype)
 
-    def sample_jax(self, key):
-        """Jittable sampler with the same per-element boundedness mixture."""
+    def sample_jax(self, key, batch_shape: tuple[int, ...] = ()):
+        """Jittable sampler with the same per-element boundedness mixture.
+
+        ``batch_shape`` prepends leading axes drawn in one fused call — the
+        preferred way to sample whole env batches (one threefry pass instead
+        of N vmapped ones).
+        """
         import jax
         import jax.numpy as jnp
 
+        shape = tuple(batch_shape) + self.shape
         dtype = jnp.float32 if self.dtype.kind == "f" else jnp.int32
         k_u, k_n, k_e1, k_e2 = jax.random.split(key, 4)
         low = jnp.asarray(np.where(self.bounded_below, self.low, 0.0), jnp.float32)
         high = jnp.asarray(np.where(self.bounded_above, self.high, 0.0), jnp.float32)
-        uniform = jax.random.uniform(k_u, self.shape, jnp.float32, 0.0, 1.0)
-        normal = jax.random.normal(k_n, self.shape, jnp.float32)
-        exp1 = jax.random.exponential(k_e1, self.shape, jnp.float32)
-        exp2 = jax.random.exponential(k_e2, self.shape, jnp.float32)
+        uniform = jax.random.uniform(k_u, shape, jnp.float32, 0.0, 1.0)
+        normal = jax.random.normal(k_n, shape, jnp.float32)
+        exp1 = jax.random.exponential(k_e1, shape, jnp.float32)
+        exp2 = jax.random.exponential(k_e2, shape, jnp.float32)
 
         below = jnp.asarray(self.bounded_below)
         above = jnp.asarray(self.bounded_above)

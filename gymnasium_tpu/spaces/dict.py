@@ -88,12 +88,13 @@ class Dict(Space[typing.Dict[str, Any]], collections.abc.Mapping):
             }
         return {key: space.sample() for key, space in self.spaces.items()}
 
-    def sample_jax(self, key):
+    def sample_jax(self, key, batch_shape: tuple[int, ...] = ()):
         import jax
 
         keys = jax.random.split(key, len(self.spaces))
         return {
-            name: space.sample_jax(k) for (name, space), k in zip(self.spaces.items(), keys)
+            name: space.sample_jax(k, batch_shape)
+            for (name, space), k in zip(self.spaces.items(), keys)
         }
 
     def contains(self, x: Any) -> bool:

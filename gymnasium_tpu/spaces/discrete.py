@@ -65,10 +65,12 @@ class Discrete(Space[np.int64]):
 
         return self.start + self.np_random.integers(self.n)
 
-    def sample_jax(self, key):
+    def sample_jax(self, key, batch_shape: tuple[int, ...] = ()):
         import jax
 
-        return self.start + jax.random.randint(key, (), 0, int(self.n), dtype="int32")
+        return self.start + jax.random.randint(
+            key, tuple(batch_shape), 0, int(self.n), dtype="int32"
+        )
 
     def contains(self, x: Any) -> bool:
         if isinstance(x, int):

@@ -72,10 +72,10 @@ class MultiBinary(Space[np.ndarray]):
 
         return self.np_random.integers(low=0, high=2, size=self.shape, dtype=self.dtype)
 
-    def sample_jax(self, key):
+    def sample_jax(self, key, batch_shape: tuple[int, ...] = ()):
         import jax
 
-        return jax.random.bernoulli(key, 0.5, self.shape).astype("int8")
+        return jax.random.bernoulli(key, 0.5, tuple(batch_shape) + self.shape).astype("int8")
 
     def contains(self, x: Any) -> bool:
         if isinstance(x, (Sequence, np.ndarray)):

@@ -85,15 +85,16 @@ class MultiDiscrete(Space[np.ndarray]):
             return start
         return start + self.np_random.choice(valid)
 
-    def sample_jax(self, key):
+    def sample_jax(self, key, batch_shape: tuple[int, ...] = ()):
         import jax
-
-        flat_n = np.asarray(self.nvec).ravel()
-        u = jax.random.uniform(key, (flat_n.size,))
         import jax.numpy as jnp
 
+        flat_n = np.asarray(self.nvec).ravel()
+        u = jax.random.uniform(key, tuple(batch_shape) + (flat_n.size,))
         sample = jnp.floor(u * jnp.asarray(flat_n)).astype("int32")
-        return sample.reshape(self.nvec.shape) + jnp.asarray(self.start, "int32")
+        return sample.reshape(tuple(batch_shape) + self.nvec.shape) + jnp.asarray(
+            self.start, "int32"
+        )
 
     def contains(self, x: Any) -> bool:
         if isinstance(x, Sequence):

@@ -67,11 +67,11 @@ class Tuple(Space[typing.Tuple[Any, ...]], collections.abc.Sequence):
             return tuple(space.sample(probability=p) for space, p in zip(self.spaces, probability))
         return tuple(space.sample() for space in self.spaces)
 
-    def sample_jax(self, key):
+    def sample_jax(self, key, batch_shape: tuple[int, ...] = ()):
         import jax
 
         keys = jax.random.split(key, len(self.spaces))
-        return tuple(space.sample_jax(k) for space, k in zip(self.spaces, keys))
+        return tuple(space.sample_jax(k, batch_shape) for space, k in zip(self.spaces, keys))
 
     def contains(self, x: Any) -> bool:
         if isinstance(x, (list, np.ndarray)):

@@ -1,0 +1,239 @@
+"""Non-invasive API-conformance validators.
+
+Parity with reference gymnasium/utils/passive_env_checker.py:56-312 — space,
+reset, step and render validators used by the PassiveEnvChecker wrapper and
+the active env_checker.
+"""
+
+from __future__ import annotations
+
+import inspect
+from functools import partial
+from typing import Any, Callable
+
+import numpy as np
+
+import gymnasium_tpu as gym
+import gymnasium_tpu.logger as logger
+from gymnasium_tpu import spaces
+
+__all__ = [
+    "check_space",
+    "check_observation_space",
+    "check_action_space",
+    "env_reset_passive_checker",
+    "env_step_passive_checker",
+    "env_render_passive_checker",
+]
+
+
+def _check_box_bounds(space: spaces.Box, is_obs: bool):
+    name = "observation" if is_obs else "action"
+    if np.any(space.low == np.inf):
+        logger.warn(f"A Box {name} space has a low bound of infinity.")
+    if np.any(space.high == -np.inf):
+        logger.warn(f"A Box {name} space has a high bound of -infinity.")
+    if np.any(space.low == space.high):
+        logger.warn(f"A Box {name} space maximum and minimum values are equal.")
+    elif np.any(space.high < space.low):
+        logger.warn(f"A Box {name} space low value is greater than a high value.")
+
+
+def check_space(space: spaces.Space, is_obs: bool, function_type: str):
+    """Check that ``space`` is a valid gymnasium_tpu space."""
+    name = "observation" if is_obs else "action"
+    if not isinstance(space, spaces.Space):
+        raise AssertionError(
+            f"{name} space does not inherit from `gymnasium_tpu.spaces.Space`, actual type: {type(space)}"
+        )
+    elif isinstance(space, spaces.Box):
+        _check_box_bounds(space, is_obs)
+    elif isinstance(space, spaces.Discrete):
+        assert 0 < space.n, f"Discrete {name} space's number of elements must be positive, actual: {space.n}"
+    elif isinstance(space, spaces.MultiDiscrete):
+        assert np.all(0 < space.nvec), f"Multi-discrete {name} space's all nvec elements must be greater than 0, actual: {space.nvec}"
+    elif isinstance(space, spaces.MultiBinary):
+        assert np.all(0 < np.asarray(space.shape)), f"Multi-binary {name} space's all shape elements must be greater than 0, actual: {space.shape}"
+    elif isinstance(space, spaces.Tuple):
+        assert 0 < len(space.spaces), f"An empty Tuple {name} space is not allowed."
+        for subspace in space.spaces:
+            check_space(subspace, is_obs, function_type)
+    elif isinstance(space, spaces.Dict):
+        assert 0 < len(space.spaces.keys()), f"An empty Dict {name} space is not allowed."
+        for subspace in space.values():
+            check_space(subspace, is_obs, function_type)
+
+
+check_observation_space = partial(check_space, is_obs=True, function_type="observation")
+check_action_space = partial(check_space, is_obs=False, function_type="action")
+
+
+def check_obs(obs: Any, observation_space: spaces.Space, method_name: str):
+    """Check that ``obs`` is consistent with ``observation_space``."""
+    pre = f"The obs returned by the `{method_name}()` method"
+    if isinstance(observation_space, spaces.Discrete):
+        if not isinstance(obs, (np.int64, int)) and not (
+            hasattr(obs, "dtype") and np.issubdtype(obs.dtype, np.integer) and np.ndim(obs) == 0
+        ):
+            logger.warn(f"{pre} should be an int or np.int64, actual type: {type(obs)}")
+    elif isinstance(observation_space, spaces.Box):
+        if observation_space.shape != ():
+            if not isinstance(obs, np.ndarray) and not hasattr(obs, "__array__"):
+                logger.warn(f"{pre} was expecting a numpy array, actual type: {type(obs)}")
+            elif hasattr(obs, "dtype") and obs.dtype != observation_space.dtype:
+                logger.warn(f"{pre} was expecting numpy array dtype to be {observation_space.dtype}, actual type: {obs.dtype}")
+    elif isinstance(observation_space, (spaces.MultiBinary, spaces.MultiDiscrete)):
+        if not isinstance(obs, np.ndarray) and not hasattr(obs, "__array__"):
+            logger.warn(f"{pre} was expecting a numpy array, actual type: {type(obs)}")
+    elif isinstance(observation_space, spaces.Tuple):
+        if not isinstance(obs, tuple):
+            logger.warn(f"{pre} was expecting a tuple, actual type: {type(obs)}")
+        else:
+            assert len(obs) == len(observation_space.spaces), (
+                f"{pre} length is not same as the observation space length, obs length: {len(obs)}, space length: {len(observation_space.spaces)}"
+            )
+            for sub_obs, sub_space in zip(obs, observation_space.spaces):
+                check_obs(sub_obs, sub_space, method_name)
+    elif isinstance(observation_space, spaces.Dict):
+        assert isinstance(obs, dict), f"{pre} must be a dict, actual type: {type(obs)}"
+        assert obs.keys() == observation_space.spaces.keys(), (
+            f"{pre} observation keys is not same as the observation space keys, obs keys: {list(obs.keys())}, space keys: {list(observation_space.spaces.keys())}"
+        )
+        for space_key in observation_space.spaces.keys():
+            check_obs(obs[space_key], observation_space[space_key], method_name)
+
+    try:
+        if obs not in observation_space:
+            logger.warn(f"{pre} is not within the observation space.")
+    except Exception as e:
+        logger.warn(f"{pre} could not be checked against the observation space: {e}")
+
+
+def env_reset_passive_checker(env, **kwargs: Any):
+    """Check the env ``reset`` signature and returned values."""
+    signature = inspect.signature(env.reset)
+    if "seed" not in signature.parameters and "kwargs" not in signature.parameters:
+        logger.warn(
+            "Current gymnasium version requires that `Env.reset` can be passed a `seed` instead of using `Env.seed` for resetting the environment random number generator."
+        )
+    else:
+        seed_param = signature.parameters.get("seed")
+        if seed_param is not None and seed_param.default is not None:
+            logger.warn(
+                "The default seed argument in `Env.reset` should be `None`, otherwise the environment will by default always be deterministic. "
+                f"Actual default: {seed_param.default}"
+            )
+
+    if "options" not in signature.parameters and "kwargs" not in signature.parameters:
+        logger.warn(
+            "Current gymnasium version requires that `Env.reset` can be passed `options` to allow the environment initialisation to be passed additional information."
+        )
+
+    result = env.reset(**kwargs)
+    if not isinstance(result, tuple):
+        logger.warn(f"The result returned by `env.reset()` was not a tuple of the form `(obs, info)`, where `obs` is a observation and `info` is a dictionary containing additional information. Actual type: `{type(result)}`")
+    elif len(result) != 2:
+        logger.warn("The result returned by `env.reset()` should be `(obs, info)` by default, , where `obs` is a observation and `info` is a dictionary containing additional information.")
+    else:
+        obs, info = result
+        check_obs(obs, env.observation_space, "reset")
+        assert isinstance(info, dict), (
+            f"The second element returned by `env.reset()` was not a dictionary, actual type: {type(info)}"
+        )
+    return result
+
+
+def env_step_passive_checker(env, action: Any):
+    """Check the env ``step`` returned values."""
+    result = env.step(action)
+    assert isinstance(result, tuple), f"Expects step result to be a tuple, actual type: {type(result)}"
+    if len(result) == 4:
+        logger.deprecation(
+            "Core environment is written in old step API which returns one bool instead of two. "
+            "It is recommended to rewrite the environment with new step API."
+        )
+        obs, reward, done, info = result
+        if not isinstance(done, (bool, np.bool_)):
+            logger.warn(f"Expects `done` signal to be a boolean, actual type: {type(done)}")
+    elif len(result) == 5:
+        obs, reward, terminated, truncated, info = result
+        if not isinstance(terminated, (bool, np.bool_)):
+            logger.warn(f"Expects `terminated` signal to be a boolean, actual type: {type(terminated)}")
+        if not isinstance(truncated, (bool, np.bool_)):
+            logger.warn(f"Expects `truncated` signal to be a boolean, actual type: {type(truncated)}")
+    else:
+        raise AssertionError(
+            f"Expected `Env.step` to return a four or five element tuple, actual number of elements returned: {len(result)}."
+        )
+
+    check_obs(obs, env.observation_space, "step")
+    if not (np.issubdtype(type(reward), np.integer) or np.issubdtype(type(reward), np.floating)):
+        logger.warn(f"The reward returned by `step()` must be a float, int, np.integer or np.floating, actual type: {type(reward)}")
+    else:
+        if np.isnan(reward):
+            logger.warn("The reward is a NaN value.")
+        if np.isinf(reward):
+            logger.warn("The reward is an inf value.")
+    assert isinstance(info, dict), f"The `info` returned by `step()` must be a python dictionary, actual type: {type(info)}"
+    return result
+
+
+def env_render_passive_checker(env):
+    """Check the env ``render`` result against its declared render mode."""
+    render_modes = env.metadata.get("render_modes")
+    if render_modes is None:
+        logger.warn(
+            "No render modes was declared in the environment (env.metadata['render_modes'] is None or not defined), you may have trouble when calling `.render()`."
+        )
+    else:
+        if not isinstance(render_modes, (list, tuple)):
+            logger.warn(f"Expects the render_modes to be a sequence (i.e. list, tuple), actual type: {type(render_modes)}")
+        elif not all(isinstance(mode, str) for mode in render_modes):
+            logger.warn(f"Expects all render modes to be strings, actual types: {[type(mode) for mode in render_modes]}")
+
+        render_fps = env.metadata.get("render_fps")
+        if render_fps is None:
+            logger.warn(
+                "No render fps was declared in the environment (env.metadata['render_fps'] is None or not defined), rendering may occur at inconsistent fps."
+            )
+        else:
+            if not (np.issubdtype(type(render_fps), np.integer) or np.issubdtype(type(render_fps), np.floating)):
+                logger.warn(f"Expects the `env.metadata['render_fps']` to be an integer or a float, actual type: {type(render_fps)}")
+            else:
+                assert render_fps > 0, f"Expects the `env.metadata['render_fps']` to be greater than zero, actual value: {render_fps}"
+
+        if len(render_modes) == 0:
+            assert env.render_mode is None, (
+                f"With no render_modes, expects the Env.render_mode to be None, actual value: {env.render_mode}"
+            )
+        else:
+            assert env.render_mode is None or env.render_mode in render_modes, (
+                f"The environment was initialized successfully however with an unsupported render mode. Render mode: {env.render_mode}, modes: {render_modes}"
+            )
+
+    result = env.render()
+    if env.render_mode is not None:
+        _check_render_return(env.render_mode, result)
+    return result
+
+
+def _check_render_return(render_mode: str, render_return: Any):
+    """Check the return of ``render`` against its mode."""
+    if render_mode == "human":
+        if render_return is not None:
+            logger.warn(f"Human rendering should return `None`, got {type(render_return)}")
+    elif render_mode == "rgb_array":
+        if not isinstance(render_return, np.ndarray):
+            logger.warn(f"RGB-array rendering should return a numpy array, got {type(render_return)}")
+        else:
+            if render_return.dtype != np.uint8:
+                logger.warn(f"RGB-array rendering should return a numpy array with dtype uint8, got {render_return.dtype}")
+            if render_return.ndim != 3 or render_return.shape[2] != 3:
+                logger.warn(f"RGB-array rendering should return a numpy array of shape (H, W, 3), got {render_return.shape}")
+    elif render_mode.endswith("_list"):
+        if not isinstance(render_return, list):
+            logger.warn(f"Render mode `{render_mode}` should return a list, got {type(render_return)}")
+        else:
+            base_mode = render_mode[: -len("_list")]
+            for item in render_return:
+                _check_render_return(base_mode, item)

@@ -1,0 +1,193 @@
+"""Device-resident vector env: the TPU-native replacement for Sync/Async.
+
+Wraps any :class:`~gymnasium_tpu.functional.FuncEnv` into a batched,
+auto-resetting, jit-compiled environment whose entire state lives on device.
+One compiled XLA executable advances all N sub-envs in lockstep; there is no
+per-env Python dispatch, no process pool, and no host round-trip inside the
+step (contrast reference async_vector_env.py:54-725, whose step pickles
+actions over pipes to worker processes).
+
+Scaling story (SURVEY.md §5.8): pass ``sharding=`` a
+``jax.sharding.NamedSharding`` over the env-batch axis and the same compiled
+step runs SPMD across a device mesh, with XLA inserting any collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymnasium_tpu.functional import (
+    EnvCarry,
+    FuncEnv,
+    TimeStep,
+    make_autoreset_step,
+    make_initial_carry,
+    vectorize_func_env,
+)
+from gymnasium_tpu.vector.utils import batch_space
+from gymnasium_tpu.vector.vector_env import AutoresetMode, VectorEnv
+
+__all__ = ["JaxVectorEnv"]
+
+
+class JaxVectorEnv(VectorEnv):
+    """Batched auto-resetting env compiled to a single device program."""
+
+    metadata: dict[str, Any] = {"autoreset_mode": AutoresetMode.NEXT_STEP, "jax": True}
+
+    def __init__(
+        self,
+        func_env: FuncEnv,
+        num_envs: int,
+        params: Any = None,
+        max_episode_steps: int | None = None,
+        autoreset_mode: AutoresetMode = AutoresetMode.NEXT_STEP,
+        seed: int | None = None,
+        sharding: jax.sharding.Sharding | None = None,
+        jit: bool = True,
+    ):
+        self.func_env = func_env
+        self.num_envs = num_envs
+        self.params = params if params is not None else func_env.get_default_params()
+        self.time_limit = max_episode_steps
+        self.autoreset_mode = autoreset_mode
+        self.metadata = dict(type(self).metadata)
+        self.metadata["autoreset_mode"] = autoreset_mode
+        self.sharding = sharding
+
+        assert autoreset_mode in (AutoresetMode.NEXT_STEP, AutoresetMode.DISABLED), (
+            f"JaxVectorEnv supports NEXT_STEP and DISABLED autoreset, got {autoreset_mode}"
+        )
+
+        self.single_observation_space = func_env.observation_space
+        self.single_action_space = func_env.action_space
+        self.observation_space = batch_space(self.single_observation_space, num_envs)
+        self.action_space = batch_space(self.single_action_space, num_envs)
+
+        self._batched = vectorize_func_env(func_env, num_envs)
+        step_fn = make_autoreset_step(
+            self._batched,
+            self.params,
+            time_limit=max_episode_steps,
+            autoreset=autoreset_mode == AutoresetMode.NEXT_STEP,
+        )
+        init_fn = lambda rng: make_initial_carry(self._batched, rng, self.params)
+        if jit:
+            # Donating the carry lets XLA update env state in place.
+            self._step_fn = jax.jit(step_fn, donate_argnums=0)
+            self._init_fn = jax.jit(init_fn)
+        else:
+            self._step_fn = step_fn
+            self._init_fn = init_fn
+
+        self._seed = seed if seed is not None else 0
+        self.carry: EnvCarry | None = None
+        self._rollout_cache: dict[Any, Callable] = {}
+
+    # -- sharding ----------------------------------------------------------
+
+    def _place(self, tree):
+        if self.sharding is None:
+            return tree
+
+        def put(leaf):
+            if leaf.ndim == 0:
+                return leaf
+            spec = jax.sharding.PartitionSpec(
+                *(self.sharding.spec + (None,) * (leaf.ndim - len(self.sharding.spec)))
+            )
+            return jax.device_put(
+                leaf, jax.sharding.NamedSharding(self.sharding.mesh, spec)
+            )
+
+        return jax.tree_util.tree_map(put, tree)
+
+    # -- VectorEnv API ------------------------------------------------------
+
+    def reset(self, *, seed: int | None = None, options: dict[str, Any] | None = None):
+        if seed is not None:
+            self._seed = seed
+        rng = jax.random.PRNGKey(self._seed)
+        carry, obs = self._init_fn(rng)
+        self.carry = self._place(carry)
+        return obs, {}
+
+    def step(self, actions):
+        assert self.carry is not None, "Call reset before using step method."
+        self.carry, timestep = self._step_fn(self.carry, actions)
+        return (
+            timestep.obs,
+            timestep.reward,
+            timestep.terminated,
+            timestep.truncated,
+            timestep.info,
+        )
+
+    # -- fused rollout (benchmark / training path) -------------------------
+
+    def rollout(
+        self,
+        num_steps: int,
+        action_fn: Callable[[Any, Any], Any] | None = None,
+        carry: EnvCarry | None = None,
+        unroll: int = 4,
+    ):
+        """Run ``num_steps`` env steps as one ``lax.scan`` program.
+
+        ``action_fn(rng, obs) -> actions`` defaults to uniform random actions
+        from the action space. Returns ``(carry, TimeStep)`` with time-major
+        stacked leaves. This is the throughput path: one dispatch for the
+        whole trajectory, everything stays on device.
+        """
+        if carry is None:
+            if self.carry is None:
+                self.reset()
+            carry = self.carry
+        assert carry is not None
+
+        cache_key = (num_steps, action_fn, unroll)
+        run = self._rollout_cache.get(cache_key)
+        if run is None:
+            if action_fn is None:
+                space = self.single_action_space
+
+                def sample_actions(rng, obs):
+                    return space.sample_jax(rng, (self.num_envs,))
+
+            else:
+                sample_actions = action_fn
+
+            step_fn = make_autoreset_step(
+                self._batched,
+                self.params,
+                time_limit=self.time_limit,
+                autoreset=self.autoreset_mode == AutoresetMode.NEXT_STEP,
+            )
+
+            def scan_body(carry, _):
+                env_carry, rng = carry
+                rng, k_act = jax.random.split(rng)
+                actions = sample_actions(k_act, None)
+                env_carry, ts = step_fn(env_carry, actions)
+                return (env_carry, rng), ts
+
+            @jax.jit
+            def run(carry):
+                rng = jax.random.fold_in(carry.rng, 1)
+                (env_carry, _), traj = jax.lax.scan(
+                    scan_body, (carry, rng), None, length=num_steps, unroll=unroll
+                )
+                return env_carry, traj
+
+            self._rollout_cache[cache_key] = run
+
+        env_carry, traj = run(carry)
+        self.carry = env_carry
+        return env_carry, traj
+
+    def render(self):
+        return None
