@@ -587,7 +587,8 @@ def make_vec(
 
         from gymnasium_tpu.vector.jax_vector_env import JaxVectorEnv
 
-        func_env = func_env_creator(**env_spec_kwargs)
+        # FuncEnv constructors take a single options dict.
+        func_env = func_env_creator(env_spec_kwargs or None)
         if env_spec.max_episode_steps is not None and "max_episode_steps" not in vector_kwargs:
             vector_kwargs["max_episode_steps"] = env_spec.max_episode_steps
         env = JaxVectorEnv(func_env, num_envs=num_envs, **vector_kwargs)
