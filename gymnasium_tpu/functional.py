@@ -156,6 +156,7 @@ def vectorize_func_env(func_env: FuncEnv, num_envs: int) -> FuncEnv:
     and change ``in_axes`` downstream if you need per-env dynamics.
     """
     import jax
+    import jax.numpy as jnp
 
     batched = FuncEnv.__new__(type(func_env))
     batched.__dict__.update(func_env.__dict__)
@@ -186,8 +187,17 @@ def vectorize_func_env(func_env: FuncEnv, num_envs: int) -> FuncEnv:
 
     if initial_batched is not None:
         batched.initial = lambda rng, params=None: initial_batched(rng, num_envs, params)
-    else:
+    elif "initial" in needs_rng:
         batched.initial = lambda rng, params=None: v_initial(keys("initial", rng), params)
+    else:
+        # Deterministic initial state: compute once, broadcast to the batch.
+        def broadcast_initial(rng, params=None):
+            state = func_env.initial(rng, params)
+            return jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (num_envs,) + jnp.shape(x)), state
+            )
+
+        batched.initial = broadcast_initial
     batched.transition = lambda state, action, rng, params=None: v_transition(
         state, action, keys("transition", rng), params
     )
