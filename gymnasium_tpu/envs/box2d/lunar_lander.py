@@ -1,0 +1,263 @@
+"""LunarLander: host env and JAX functional env over the shared rigid-body
+dynamics (gymnasium_tpu/envs/dynamics/lunar_lander.py).
+
+API parity with reference box2d/lunar_lander.py:1-884 (discrete + continuous
+actions, wind, gravity kwarg). The native Box2D solver is replaced by the
+pure-array contact model; correctness is held distributionally (SURVEY.md §7
+stage 8), not bit-exact.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import numpy as np
+
+import gymnasium_tpu as gym
+from gymnasium_tpu import spaces
+from gymnasium_tpu.envs.dynamics import lunar_lander as dyn
+from gymnasium_tpu.functional import FuncEnv
+from gymnasium_tpu.utils.ezpickle import EzPickle
+
+__all__ = ["LunarLander", "LunarLanderFunctional", "LunarLanderContinuousFunctional"]
+
+
+def _wind_terms(np_random, wind_idx, torque_idx, params, enabled: bool):
+    """The reference's deterministic-chaos wind model (lunar_lander.py:470)."""
+    if not enabled:
+        return np.zeros(2), wind_idx, torque_idx
+    wind_mag = (
+        math.tanh(math.sin(0.02 * wind_idx) + math.sin(math.pi * 0.01 * wind_idx))
+        * params.wind_power
+    )
+    torque_mag = (
+        math.tanh(math.sin(0.02 * torque_idx) + math.sin(math.pi * 0.01 * torque_idx))
+        * params.turbulence_power
+    )
+    return np.array([wind_mag, torque_mag]), wind_idx + 1, torque_idx + 1
+
+
+class LunarLander(gym.Env[np.ndarray, Any], EzPickle):
+    """Rocket trajectory optimization onto the landing pad."""
+
+    metadata = {"render_modes": ["human", "rgb_array"], "render_fps": dyn.FPS}
+
+    def __init__(
+        self,
+        render_mode: str | None = None,
+        continuous: bool = False,
+        gravity: float = -10.0,
+        enable_wind: bool = False,
+        wind_power: float = 15.0,
+        turbulence_power: float = 1.5,
+    ):
+        EzPickle.__init__(
+            self,
+            render_mode,
+            continuous,
+            gravity,
+            enable_wind,
+            wind_power,
+            turbulence_power,
+        )
+        assert -12.0 < gravity and gravity < 0.0, f"gravity (current value: {gravity}) must be between -12 and 0"
+        if 0.0 > wind_power or wind_power > 20.0:
+            gym.logger.warn(f"wind_power value is recommended to be between 0.0 and 20.0, (current value: {wind_power})")
+        if 0.0 > turbulence_power or turbulence_power > 2.0:
+            gym.logger.warn(f"turbulence_power value is recommended to be between 0.0 and 2.0, (current value: {turbulence_power})")
+
+        self.continuous = continuous
+        self.gravity = gravity
+        self.enable_wind = enable_wind
+        self.params = dyn.LunarParams(
+            gravity=gravity, wind_power=wind_power, turbulence_power=turbulence_power
+        )
+        self.render_mode = render_mode
+        self._display = None
+
+        low = np.array([-2.5, -2.5, -10.0, -10.0, -2 * math.pi, -10.0, -0.0, -0.0], dtype=np.float32)
+        high = np.array([2.5, 2.5, 10.0, 10.0, 2 * math.pi, 10.0, 1.0, 1.0], dtype=np.float32)
+        self.observation_space = spaces.Box(low, high, dtype=np.float32)
+        if self.continuous:
+            self.action_space = spaces.Box(-1, +1, (2,), dtype=np.float32)
+        else:
+            self.action_space = spaces.Discrete(4)
+
+        self.state: dict | None = None
+        self._wind_idx = 0
+        self._torque_idx = 0
+
+    def reset(self, *, seed: int | None = None, options: dict[str, Any] | None = None):
+        super().reset(seed=seed)
+        terrain_u = self.np_random.uniform(0, 1, size=(dyn.CHUNKS,))
+        force_u = self.np_random.uniform(-1, 1, size=(2,))
+        self.state = dyn.initial_state(np, terrain_u[None], force_u[None], self.params)
+        self._wind_idx = int(self.np_random.integers(-9999, 9999))
+        self._torque_idx = int(self.np_random.integers(-9999, 9999))
+
+        obs = dyn.observe(
+            np, self.state["body"], self.state["leg1"], self.state["leg2"]
+        )[0].astype(np.float32)
+        if self.render_mode == "human":
+            self.render()
+        return obs, {}
+
+    def step(self, action):
+        assert self.state is not None, "You forgot to call reset()"
+        if self.continuous:
+            action = np.clip(np.asarray(action, dtype=np.float64), -1, +1)[None]
+        else:
+            assert self.action_space.contains(action), f"{action!r} ({type(action)}) invalid "
+            action = np.asarray([action])
+
+        dispersion = self.np_random.uniform(-1.0, 1.0, size=(1, 2))
+        wind, self._wind_idx, self._torque_idx = _wind_terms(
+            self.np_random, self._wind_idx, self._torque_idx, self.params, self.enable_wind
+        )
+        self.state = dyn.full_step(
+            np, self.state, action, dispersion, wind[None], self.params, self.continuous
+        )
+        obs = dyn.observe(
+            np, self.state["body"], self.state["leg1"], self.state["leg2"]
+        )[0].astype(np.float32)
+        reward = float(self.state["r"][0])
+        terminated = bool(self.state["done"][0])
+        if self.render_mode == "human":
+            self.render()
+        return obs, reward, terminated, False, {}
+
+    def render(self):
+        if self.render_mode is None:
+            gym.logger.warn(
+                "You are calling render method without specifying any render mode."
+            )
+            return None
+        frame = _render_lander(self.state, self.params)
+        if self.render_mode == "human":
+            if self._display is None:
+                from gymnasium_tpu.utils.human_display import HumanDisplay
+
+                self._display = HumanDisplay(
+                    dyn.VIEWPORT_W, dyn.VIEWPORT_H, self.metadata["render_fps"], "LunarLander"
+                )
+            self._display.show(frame)
+            return None
+        return frame
+
+    def close(self):
+        if self._display is not None:
+            self._display.close()
+            self._display = None
+
+
+def _render_lander(state, params, width=dyn.VIEWPORT_W, height=dyn.VIEWPORT_H):
+    """Rasterize terrain + lander."""
+    from gymnasium_tpu.utils.raster import Canvas
+
+    canvas = Canvas(width, height, (0, 0, 0))
+    scale = dyn.SCALE
+    terrain = np.asarray(state["terrain"])[0]
+    xs = np.linspace(0, dyn.W, dyn.CHUNKS)
+    pts = [(x * scale, height - h * scale) for x, h in zip(xs, terrain)]
+    ground = pts + [(width, height), (0, height)]
+    canvas.polygon(ground, (255, 255, 255))
+
+    body = np.asarray(state["body"])[0]
+    x, y, _, _, angle, _ = body
+    c, s = math.cos(angle), math.sin(angle)
+    poly = []
+    for bx, by in dyn.LANDER_POLY:
+        bx, by = bx / scale, by / scale
+        rx = bx * c - by * s
+        ry = bx * s + by * c
+        poly.append(((x + rx) * scale, height - (y + ry) * scale))
+    canvas.polygon(poly, (128, 102, 230))
+    for tip in dyn._LEG_TIP:
+        rx = tip[0] * c - tip[1] * s
+        ry = tip[0] * s + tip[1] * c
+        canvas.line(
+            (x * scale, height - y * scale),
+            ((x + rx) * scale, height - (y + ry) * scale),
+            (77, 77, 128),
+            3,
+        )
+    return canvas.rgb_array()
+
+
+class LunarLanderFunctional(FuncEnv):
+    """Stateless LunarLander over the shared dynamics (discrete actions)."""
+
+    continuous = False
+    rng_hooks = frozenset({"initial", "transition"})
+
+    def __init__(self, options: dict[str, Any] | None = None):
+        options = dict(options or {})
+        gravity = options.pop("gravity", -10.0)
+        self.enable_wind = bool(options.pop("enable_wind", False))
+        wind_power = options.pop("wind_power", 15.0)
+        turbulence_power = options.pop("turbulence_power", 1.5)
+        if "continuous" in options:
+            self.continuous = bool(options.pop("continuous"))
+        super().__init__(options)
+        self._default_params = dyn.LunarParams(
+            gravity=gravity, wind_power=wind_power, turbulence_power=turbulence_power
+        )
+
+        low = np.array([-2.5, -2.5, -10.0, -10.0, -2 * math.pi, -10.0, -0.0, -0.0], dtype=np.float32)
+        high = np.array([2.5, 2.5, 10.0, 10.0, 2 * math.pi, 10.0, 1.0, 1.0], dtype=np.float32)
+        self.observation_space = spaces.Box(low, high, dtype=np.float32)
+        if self.continuous:
+            self.action_space = spaces.Box(-1, +1, (2,), dtype=np.float32)
+        else:
+            self.action_space = spaces.Discrete(4)
+
+    def get_default_params(self, **kwargs: Any) -> dyn.LunarParams:
+        return self._default_params._replace(**kwargs)
+
+    def initial(self, rng, params: dyn.LunarParams | None = None):
+        import jax
+        import jax.numpy as jnp
+
+        params = params or self._default_params
+        k_terrain, k_force = jax.random.split(rng)
+        terrain_u = jax.random.uniform(k_terrain, (1, dyn.CHUNKS))
+        force_u = jax.random.uniform(k_force, (1, 2), minval=-1.0, maxval=1.0)
+        state = dyn.initial_state(jnp, terrain_u, force_u, params)
+        # strip the length-1 batch axis: hooks are per-env and get vmapped
+        return jax.tree_util.tree_map(lambda v: v[0], state)
+
+    def transition(self, state, action, rng, params: dyn.LunarParams | None = None):
+        import jax
+        import jax.numpy as jnp
+
+        params = params or self._default_params
+        k_disp, k_wind = jax.random.split(rng)
+        dispersion = jax.random.uniform(k_disp, (2,), minval=-1.0, maxval=1.0)
+        if self.enable_wind:
+            # stochastic wind stand-in for the reference's chaotic index walk
+            wind = jax.random.uniform(k_wind, (2,), minval=-1.0, maxval=1.0) * jnp.asarray(
+                [params.wind_power, params.turbulence_power]
+            )
+        else:
+            wind = jnp.zeros(2)
+        if self.continuous:
+            action = jnp.clip(jnp.asarray(action, jnp.float32), -1.0, 1.0)
+        return dyn.full_step(jnp, state, action, dispersion, wind, params, self.continuous)
+
+    def observation(self, state, rng, params: dyn.LunarParams | None = None):
+        import jax.numpy as jnp
+
+        return dyn.observe(jnp, state["body"], state["leg1"], state["leg2"]).astype(jnp.float32)
+
+    def reward(self, state, action, next_state, rng, params: dyn.LunarParams | None = None):
+        return next_state["r"]
+
+    def terminal(self, state, rng, params: dyn.LunarParams | None = None):
+        return state["done"]
+
+
+class LunarLanderContinuousFunctional(LunarLanderFunctional):
+    """Continuous-action LunarLander."""
+
+    continuous = True
