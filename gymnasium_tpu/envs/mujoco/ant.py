@@ -1,0 +1,155 @@
+"""Ant: quadruped locomotion with a floating base.
+
+Behavioral parity: reference mujoco/ant_v5.py (healthy-z termination,
+forward reward, ctrl cost; the cfrc-based contact cost is zero here — the
+engine exposes no per-body external force accumulator yet).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from gymnasium_tpu import spaces
+from gymnasium_tpu.envs.mujoco.free_root import euler_rates_to_omega, euler_to_quat
+from gymnasium_tpu.envs.mujoco.locomotion import MujocoFuncEnv
+from gymnasium_tpu.envs.mujoco.mujoco_env import MujocoEnv
+from gymnasium_tpu.utils.ezpickle import EzPickle
+
+__all__ = ["AntEnv", "AntFunctional"]
+
+
+class AntEnv(MujocoEnv, EzPickle):
+    """Coordinate four legs to move forward."""
+
+    def __init__(
+        self,
+        forward_reward_weight: float = 1.0,
+        ctrl_cost_weight: float = 0.5,
+        healthy_reward: float = 1.0,
+        terminate_when_unhealthy: bool = True,
+        healthy_z_range: tuple[float, float] = (0.2, 1.0),
+        reset_noise_scale: float = 0.1,
+        exclude_current_positions_from_observation: bool = True,
+        render_mode: str | None = None,
+        **kwargs: Any,
+    ):
+        EzPickle.__init__(
+            self,
+            forward_reward_weight,
+            ctrl_cost_weight,
+            healthy_reward,
+            terminate_when_unhealthy,
+            healthy_z_range,
+            reset_noise_scale,
+            exclude_current_positions_from_observation,
+            render_mode,
+            **kwargs,
+        )
+        self.forward_reward_weight = forward_reward_weight
+        self.ctrl_cost_weight = ctrl_cost_weight
+        self.healthy_reward = healthy_reward
+        self.terminate_when_unhealthy = terminate_when_unhealthy
+        self._healthy_z_range = healthy_z_range
+        self._exclude_xy = exclude_current_positions_from_observation
+        obs_dim = 27 if exclude_current_positions_from_observation else 29
+        super().__init__(
+            "ant",
+            frame_skip=5,
+            observation_space=spaces.Box(-np.inf, np.inf, (obs_dim,), np.float64),
+            render_mode=render_mode,
+            reset_noise_scale=reset_noise_scale,
+        )
+        self._z0 = float(self.model.bodies.pos[0][2])
+
+    def _sample_initial_state(self):
+        noise = self._reset_noise_scale
+        qpos = self.init_qpos + self.np_random.uniform(-noise, noise, self.model.nv)
+        qvel = self.init_qvel + noise * self.np_random.standard_normal(self.model.nv)
+        return qpos, qvel
+
+    @property
+    def torso_z(self) -> float:
+        """Absolute torso height."""
+        return self._z0 + float(self.qpos[2])
+
+    def is_healthy(self) -> bool:
+        min_z, max_z = self._healthy_z_range
+        return bool(
+            np.isfinite(self.state_vector()).all() and min_z <= self.torso_z <= max_z
+        )
+
+    def _get_obs(self) -> np.ndarray:
+        quat = euler_to_quat(np, self.qpos[3:6])
+        omega = euler_rates_to_omega(np, self.qpos[3:6], self.qvel[3:6])
+        z = np.array([self.torso_z])
+        joints = self.qpos[6:]
+        qvel = np.concatenate([self.qvel[:3], omega, self.qvel[6:]])
+        if self._exclude_xy:
+            return np.concatenate([z, quat, joints, qvel]).astype(np.float64)
+        return np.concatenate([self.qpos[:2], z, quat, joints, qvel]).astype(np.float64)
+
+    def step(self, action):
+        xy_before = self.qpos[:2].copy()
+        self.do_simulation(action)
+        xy_after = self.qpos[:2]
+        x_velocity, y_velocity = (xy_after - xy_before) / self.dt
+
+        forward_reward = self.forward_reward_weight * x_velocity
+        healthy = self.is_healthy()
+        healthy_reward = self.healthy_reward * (healthy or not self.terminate_when_unhealthy)
+        ctrl_cost = self.ctrl_cost_weight * float(np.sum(np.square(action)))
+
+        reward = forward_reward + healthy_reward - ctrl_cost
+        terminated = self.terminate_when_unhealthy and not healthy
+        info = {
+            "x_position": float(xy_after[0]),
+            "y_position": float(xy_after[1]),
+            "x_velocity": float(x_velocity),
+            "y_velocity": float(y_velocity),
+            "reward_forward": float(forward_reward),
+            "reward_ctrl": -ctrl_cost,
+            "reward_survive": float(healthy_reward),
+        }
+        if self.render_mode == "human":
+            self.render()
+        return self._get_obs(), reward, terminated, False, info
+
+
+class AntFunctional(MujocoFuncEnv):
+    """Device-resident Ant."""
+
+    model_name = "ant"
+    frame_skip = 5
+    reset_noise_scale = 0.1
+
+    def __init__(self, options: dict[str, Any] | None = None):
+        super().__init__(options)
+        self.observation_space = spaces.Box(-np.inf, np.inf, (27,), np.float64)
+        self._z0 = float(self.model.bodies.pos[0][2])
+
+    def observation(self, state, rng, params: Any = None):
+        import jax.numpy as jnp
+
+        q, qd = state["qpos"], state["qvel"]
+        quat = euler_to_quat(jnp, q[3:6])
+        omega = euler_rates_to_omega(jnp, q[3:6], qd[3:6])
+        z = jnp.asarray([self._z0 + q[2]])
+        return jnp.concatenate([z, quat, q[6:], qd[:3], omega, qd[6:]])
+
+    def reward(self, state, action, next_state, rng, params: Any = None):
+        import jax.numpy as jnp
+
+        x_velocity = (next_state["qpos"][0] - next_state["prev_x"]) / self.dt
+        ctrl_cost = 0.5 * jnp.sum(jnp.square(action))
+        z = self._z0 + next_state["qpos"][2]
+        healthy = (z >= 0.2) & (z <= 1.0)
+        return x_velocity + jnp.where(healthy, 1.0, 0.0) - ctrl_cost
+
+    def terminal(self, state, rng, params: Any = None):
+        import jax.numpy as jnp
+
+        z = self._z0 + state["qpos"][2]
+        finite = jnp.all(jnp.isfinite(state["qpos"])) & jnp.all(jnp.isfinite(state["qvel"]))
+        return ~((z >= 0.2) & (z <= 1.0) & finite)

@@ -1,0 +1,209 @@
+"""Humanoid: bipedal locomotion with a floating base.
+
+Behavioral parity: reference mujoco/humanoid_v5.py (376-dim observation
+assembled from position/velocity/com-inertia/com-velocity/actuator-force/
+external-force blocks; the last block is zeros — the engine has no external
+force accumulator yet).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from gymnasium_tpu import spaces
+from gymnasium_tpu.envs.mujoco.free_root import euler_rates_to_omega, euler_to_quat
+from gymnasium_tpu.envs.mujoco.locomotion import MujocoFuncEnv
+from gymnasium_tpu.envs.mujoco.mujoco_env import MujocoEnv
+from gymnasium_tpu.utils.ezpickle import EzPickle
+
+__all__ = ["HumanoidEnv", "HumanoidFunctional"]
+
+# observation block sizes mirror the reference: 14 bodies including world
+_NBODY_OBS = 14
+
+
+def _com_inertia_block(model, qpos_unused=None) -> np.ndarray:
+    """Static per-body [mass, m*com (3), inertia diag (3), inertia off (3)]
+    rows — the cinert-equivalent block (world row zero)."""
+    rows = [np.zeros(10)]
+    for b in range(len(model.bodies.mass)):
+        m = model.bodies.mass[b]
+        com = model.bodies.com[b]
+        inertia = model.bodies.inertia[b]
+        rows.append(
+            np.concatenate(
+                [
+                    [m],
+                    m * com,
+                    np.diag(inertia),
+                    [inertia[0, 1], inertia[0, 2], inertia[1, 2]],
+                ]
+            )
+        )
+    rows = rows[:_NBODY_OBS]
+    while len(rows) < _NBODY_OBS:
+        rows.append(np.zeros(10))
+    return np.concatenate(rows)
+
+
+class HumanoidEnv(MujocoEnv, EzPickle):
+    """Walk forward without falling over."""
+
+    model_name_default = "humanoid"
+
+    def __init__(
+        self,
+        forward_reward_weight: float = 1.25,
+        ctrl_cost_weight: float = 0.1,
+        healthy_reward: float = 5.0,
+        terminate_when_unhealthy: bool = True,
+        healthy_z_range: tuple[float, float] = (1.0, 2.0),
+        reset_noise_scale: float = 1e-2,
+        exclude_current_positions_from_observation: bool = True,
+        render_mode: str | None = None,
+        **kwargs: Any,
+    ):
+        EzPickle.__init__(
+            self,
+            forward_reward_weight,
+            ctrl_cost_weight,
+            healthy_reward,
+            terminate_when_unhealthy,
+            healthy_z_range,
+            reset_noise_scale,
+            exclude_current_positions_from_observation,
+            render_mode,
+            **kwargs,
+        )
+        self.forward_reward_weight = forward_reward_weight
+        self.ctrl_cost_weight = ctrl_cost_weight
+        self.healthy_reward = healthy_reward
+        self.terminate_when_unhealthy = terminate_when_unhealthy
+        self._healthy_z_range = healthy_z_range
+        self._exclude_xy = exclude_current_positions_from_observation
+        obs_dim = 376 if exclude_current_positions_from_observation else 378
+        super().__init__(
+            self.model_name_default,
+            frame_skip=5,
+            observation_space=spaces.Box(-np.inf, np.inf, (obs_dim,), np.float64),
+            render_mode=render_mode,
+            reset_noise_scale=reset_noise_scale,
+        )
+        self._z0 = float(self.model.bodies.pos[0][2])
+        self._cinert = _com_inertia_block(self.model)
+        self._last_ctrl = np.zeros(self.model.nu)
+
+    @property
+    def torso_z(self) -> float:
+        """Absolute torso height."""
+        return self._z0 + float(self.qpos[2])
+
+    def is_healthy(self) -> bool:
+        min_z, max_z = self._healthy_z_range
+        return bool(min_z < self.torso_z < max_z)
+
+    def _com_velocity_block(self) -> np.ndarray:
+        import jax
+
+        def com(q):
+            pc, _ = self._dyn["com_world"](q)
+            return pc
+
+        _, vel = jax.jvp(com, (self.qpos,), (self.qvel,))
+        vel = np.asarray(vel)
+        rows = [np.zeros(6)]
+        for b in range(min(len(vel), _NBODY_OBS - 1)):
+            rows.append(np.concatenate([vel[b], np.zeros(3)]))
+        while len(rows) < _NBODY_OBS:
+            rows.append(np.zeros(6))
+        return np.concatenate(rows)
+
+    def _get_obs(self) -> np.ndarray:
+        quat = euler_to_quat(np, self.qpos[3:6])
+        omega = euler_rates_to_omega(np, self.qpos[3:6], self.qvel[3:6])
+        z = np.array([self.torso_z])
+        position = np.concatenate([z, quat, self.qpos[6:]])
+        if not self._exclude_xy:
+            position = np.concatenate([self.qpos[:2], position])
+        velocity = np.concatenate([self.qvel[:3], omega, self.qvel[6:]])
+        actuator_forces = np.zeros(self.model.nv)
+        actuator_forces[self.model.act_dof] = self.model.act_gear * self._last_ctrl
+        cfrc_ext = np.zeros(_NBODY_OBS * 6)
+        return np.concatenate(
+            [position, velocity, self._cinert, self._com_velocity_block(), actuator_forces, cfrc_ext]
+        ).astype(np.float64)
+
+    def _sample_initial_state(self):
+        noise = self._reset_noise_scale
+        qpos = self.init_qpos + self.np_random.uniform(-noise, noise, self.model.nv)
+        qvel = self.init_qvel + self.np_random.uniform(-noise, noise, self.model.nv)
+        return qpos, qvel
+
+    def step(self, action):
+        xy_before = self.qpos[:2].copy()
+        self.do_simulation(action)
+        self._last_ctrl = np.clip(
+            np.asarray(action),
+            self.model.act_ctrlrange[:, 0],
+            self.model.act_ctrlrange[:, 1],
+        )
+        xy_after = self.qpos[:2]
+        x_velocity, y_velocity = (xy_after - xy_before) / self.dt
+
+        forward_reward = self.forward_reward_weight * x_velocity
+        healthy = self.is_healthy()
+        healthy_reward = self.healthy_reward * (healthy or not self.terminate_when_unhealthy)
+        ctrl_cost = self.ctrl_cost_weight * float(np.sum(np.square(action)))
+
+        reward = forward_reward + healthy_reward - ctrl_cost
+        terminated = self.terminate_when_unhealthy and not healthy
+        info = {
+            "x_position": float(xy_after[0]),
+            "y_position": float(xy_after[1]),
+            "x_velocity": float(x_velocity),
+            "y_velocity": float(y_velocity),
+            "reward_forward": float(forward_reward),
+            "reward_ctrl": -ctrl_cost,
+            "reward_survive": float(healthy_reward),
+        }
+        if self.render_mode == "human":
+            self.render()
+        return self._get_obs(), reward, terminated, False, info
+
+
+class HumanoidFunctional(MujocoFuncEnv):
+    """Device-resident Humanoid (compact qpos/qvel observation)."""
+
+    model_name = "humanoid"
+    frame_skip = 5
+    reset_noise_scale = 1e-2
+
+    def __init__(self, options: dict[str, Any] | None = None):
+        super().__init__(options)
+        # device obs: position + velocity blocks (45-dim)
+        self.observation_space = spaces.Box(-np.inf, np.inf, (45,), np.float64)
+        self._z0 = float(self.model.bodies.pos[0][2])
+
+    def observation(self, state, rng, params: Any = None):
+        import jax.numpy as jnp
+
+        q, qd = state["qpos"], state["qvel"]
+        quat = euler_to_quat(jnp, q[3:6])
+        omega = euler_rates_to_omega(jnp, q[3:6], qd[3:6])
+        z = jnp.asarray([self._z0 + q[2]])
+        return jnp.concatenate([z, quat, q[6:], qd[:3], omega, qd[6:]])
+
+    def reward(self, state, action, next_state, rng, params: Any = None):
+        import jax.numpy as jnp
+
+        x_velocity = (next_state["qpos"][0] - next_state["prev_x"]) / self.dt
+        z = self._z0 + next_state["qpos"][2]
+        healthy = (z > 1.0) & (z < 2.0)
+        ctrl_cost = 0.1 * jnp.sum(jnp.square(action))
+        return 1.25 * x_velocity + jnp.where(healthy, 5.0, 0.0) - ctrl_cost
+
+    def terminal(self, state, rng, params: Any = None):
+        z = self._z0 + state["qpos"][2]
+        return ~((z > 1.0) & (z < 2.0))

@@ -1,0 +1,132 @@
+"""Shared machinery for the planar locomotion robots (cheetah/hopper/walker/
+swimmer) and their functional device variants."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from gymnasium_tpu import spaces
+from gymnasium_tpu.envs.mujoco.mujoco_env import MujocoEnv, _compiled_step, load_model
+from gymnasium_tpu.functional import FuncEnv
+from gymnasium_tpu.physics.articulated import make_dynamics
+
+__all__ = ["PlanarLocomotionEnv", "MujocoFuncEnv"]
+
+
+class PlanarLocomotionEnv(MujocoEnv):
+    """x-velocity-rewarded planar robots: qpos[0] is the root x slide."""
+
+    # subclass configuration
+    forward_reward_weight: float = 1.0
+    ctrl_cost_weight: float = 0.0
+    healthy_reward: float = 0.0
+    terminate_when_unhealthy: bool = True
+    velocity_clip: float = np.inf
+    exclude_x: bool = True
+
+    def control_cost(self, action) -> float:
+        """Quadratic actuation cost."""
+        return self.ctrl_cost_weight * float(np.sum(np.square(action)))
+
+    def is_healthy(self) -> bool:
+        """Override for termination conditions."""
+        return True
+
+    def _get_obs(self) -> np.ndarray:
+        qpos = self.qpos[1:] if self.exclude_x else self.qpos
+        qvel = np.clip(self.qvel, -self.velocity_clip, self.velocity_clip)
+        return np.concatenate([qpos, qvel]).astype(np.float64)
+
+    def step(self, action):
+        x_before = self.qpos[0]
+        self.do_simulation(action)
+        x_after = self.qpos[0]
+        x_velocity = (x_after - x_before) / self.dt
+
+        ctrl_cost = self.control_cost(action)
+        forward_reward = self.forward_reward_weight * x_velocity
+        healthy = self.is_healthy()
+        healthy_reward = self.healthy_reward * (healthy or not self.terminate_when_unhealthy)
+
+        reward = forward_reward + healthy_reward - ctrl_cost
+        terminated = self.terminate_when_unhealthy and not healthy
+        info = {
+            "x_position": x_after,
+            "x_velocity": x_velocity,
+            "reward_forward": forward_reward,
+            "reward_ctrl": -ctrl_cost,
+            "reward_survive": healthy_reward,
+        }
+        if self.render_mode == "human":
+            self.render()
+        return self._get_obs(), reward, terminated, False, info
+
+
+class MujocoFuncEnv(FuncEnv):
+    """Generic functional (device) wrapper for a compiled robot model.
+
+    State: ``{"qpos", "qvel", "prev_x"}``. Subclasses configure the model
+    name, frame_skip, spaces, and override reward/terminal hooks using pure
+    jnp code.
+    """
+
+    model_name: str = ""
+    frame_skip: int = 5
+    reset_noise_scale: float = 0.1
+    rng_hooks = frozenset({"initial"})
+
+    def __init__(self, options: dict[str, Any] | None = None):
+        options = dict(options or {})
+        self.reset_noise_scale = options.pop("reset_noise_scale", self.reset_noise_scale)
+        super().__init__(options)
+        self.model, self.meta = load_model(self.model_name)
+        self._dyn = make_dynamics(self.model)
+        nv = self.model.nv
+        self._init_qpos = np.asarray(self.model.joints.ref)
+        self.action_space = spaces.Box(
+            low=np.asarray(self.model.act_ctrlrange[:, 0], dtype=np.float32),
+            high=np.asarray(self.model.act_ctrlrange[:, 1], dtype=np.float32),
+        )
+
+    @property
+    def dt(self) -> float:
+        return self.model.timestep * self.frame_skip
+
+    def initial(self, rng, params: Any = None):
+        import jax
+        import jax.numpy as jnp
+
+        nv = self.model.nv
+        k1, k2 = jax.random.split(rng)
+        noise = self.reset_noise_scale
+        qpos = jnp.asarray(self._init_qpos) + jax.random.uniform(
+            k1, (nv,), minval=-noise, maxval=noise
+        )
+        qvel = noise * jax.random.normal(k2, (nv,))
+        return {"qpos": qpos, "qvel": qvel, "prev_x": qpos[0]}
+
+    def transition(self, state, action, rng, params: Any = None):
+        import jax
+
+        q, qd = state["qpos"], state["qvel"]
+        prev_x = q[0]
+
+        def body(carry, _):
+            q, qd = carry
+            q, qd = self._dyn["step"](q, qd, action)
+            return (q, qd), None
+
+        (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=self.frame_skip)
+        return {"qpos": q, "qvel": qd, "prev_x": prev_x}
+
+    def observation(self, state, rng, params: Any = None):
+        import jax.numpy as jnp
+
+        return jnp.concatenate([state["qpos"][1:], state["qvel"]])
+
+    def terminal(self, state, rng, params: Any = None):
+        import jax.numpy as jnp
+
+        return jnp.zeros((), bool)

@@ -1,0 +1,265 @@
+"""MujocoEnv base: host shell over the autodiff articulated engine.
+
+API parity with reference mujoco/mujoco_env.py:115-225 (``do_simulation``,
+``set_state``/``get_state`` snapshots, frame_skip/dt metadata, ctrlrange
+action spaces) with the MuJoCo C engine replaced by
+gymnasium_tpu/physics/articulated.py. Correctness targets are
+distributional (SURVEY.md §7 stage 9).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+import gymnasium_tpu as gym
+from gymnasium_tpu import spaces
+from gymnasium_tpu.physics.articulated import (
+    ArticulatedModel,
+    BodySpec,
+    JointSpec,
+    make_dynamics,
+)
+
+__all__ = ["MujocoEnv", "load_model", "expected_frame_skip"]
+
+_MODEL_DIR = os.path.join(os.path.dirname(__file__), "models")
+
+
+@functools.lru_cache(maxsize=32)
+def load_model(name: str) -> tuple[ArticulatedModel, dict]:
+    """Load a compiled robot spec (see tools/extract_mujoco_models.py)."""
+    path = os.path.join(_MODEL_DIR, f"{name}.npz")
+    data = np.load(path)
+    model = ArticulatedModel(
+        bodies=BodySpec(
+            parent=data["bodies_parent"],
+            pos=data["bodies_pos"],
+            quat=data["bodies_quat"],
+            mass=data["bodies_mass"],
+            com=data["bodies_com"],
+            inertia=data["bodies_inertia"],
+            dof_start=data["bodies_dof_start"],
+            dof_count=data["bodies_dof_count"],
+        ),
+        joints=JointSpec(
+            body=data["joints_body"],
+            jtype=data["joints_jtype"],
+            axis=data["joints_axis"],
+            anchor=data["joints_anchor"],
+            damping=data["joints_damping"],
+            limited=data["joints_limited"],
+            lower=data["joints_lower"],
+            upper=data["joints_upper"],
+            stiffness=data["joints_stiffness"],
+            armature=data["joints_armature"],
+            ref=data["joints_ref"],
+        ),
+        contact_body=data["contact_body"],
+        contact_pos=data["contact_pos"],
+        contact_radius=data["contact_radius"],
+        act_dof=data["act_dof"],
+        act_gear=data["act_gear"],
+        act_ctrlrange=data["act_ctrlrange"],
+        gravity=float(data["gravity"]),
+        timestep=float(data["timestep"]),
+    )
+    meta = json.loads(bytes(data["meta_json"]).decode())
+    return model, meta
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_step(name: str, frame_skip: int):
+    """Jitted ``(q, qd, ctrl) -> (q, qd)`` shared across env instances."""
+    import jax
+
+    model, _ = load_model(name)
+    dyn = make_dynamics(model)
+
+    def run(q, qd, ctrl):
+        def body(carry, _):
+            q, qd = carry
+            q, qd = dyn["step"](q, qd, ctrl)
+            return (q, qd), None
+
+        (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=frame_skip)
+        return q, qd
+
+    return jax.jit(run), dyn
+
+
+def expected_frame_skip(name: str, target_dt: float) -> int:
+    """frame_skip giving the requested env dt for a model's timestep."""
+    model, _ = load_model(name)
+    return max(int(round(target_dt / model.timestep)), 1)
+
+
+class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
+    """Base class for robots driven by the articulated engine."""
+
+    model_name: str = ""
+    frame_skip: int = 5
+
+    def __init__(
+        self,
+        model_name: str,
+        frame_skip: int,
+        observation_space: spaces.Space | None = None,
+        render_mode: str | None = None,
+        reset_noise_scale: float = 0.0,
+        **kwargs: Any,
+    ):
+        self.model_name = model_name
+        self.frame_skip = frame_skip
+        self.model, self.meta = load_model(model_name)
+        self._reset_noise_scale = reset_noise_scale
+        self.render_mode = render_mode
+        self._display = None
+
+        self._step_fn, self._dyn = _compiled_step(model_name, frame_skip)
+
+        nv = self.model.nv
+        # qpos0 = joint reference values (e.g. hopper rootz ref=1.25)
+        self.init_qpos = np.asarray(self.model.joints.ref, dtype=np.float64).copy()
+        self.init_qvel = np.zeros(nv)
+        self.qpos = np.zeros(nv)
+        self.qvel = np.zeros(nv)
+
+        bounds = np.asarray(self.model.act_ctrlrange, dtype=np.float32)
+        if bounds.size and np.isfinite(bounds).all():
+            self.action_space = spaces.Box(low=bounds[:, 0], high=bounds[:, 1], dtype=np.float32)
+        else:
+            self.action_space = spaces.Box(-1.0, 1.0, (self.model.nu,), dtype=np.float32)
+        if observation_space is not None:
+            self.observation_space = observation_space
+
+        self.metadata = {
+            "render_modes": ["human", "rgb_array"],
+            "render_fps": int(np.round(1.0 / self.dt)),
+        }
+
+    @property
+    def dt(self) -> float:
+        """Env step duration: model timestep × frame_skip."""
+        return self.model.timestep * self.frame_skip
+
+    # -- state -------------------------------------------------------------
+
+    def set_state(self, qpos: np.ndarray, qvel: np.ndarray):
+        """Overwrite the full physics state (reference mujoco_env.py:128)."""
+        assert qpos.shape == (self.model.nv,) and qvel.shape == (self.model.nv,)
+        self.qpos = np.asarray(qpos, dtype=np.float64).copy()
+        self.qvel = np.asarray(qvel, dtype=np.float64).copy()
+
+    def get_state(self) -> tuple[np.ndarray, np.ndarray]:
+        """Full physics snapshot."""
+        return self.qpos.copy(), self.qvel.copy()
+
+    def do_simulation(self, ctrl: np.ndarray, n_frames: int | None = None):
+        """Advance the physics ``frame_skip`` substeps under ``ctrl``."""
+        import jax
+
+        q, qd = self._step_fn(self.qpos, self.qvel, np.asarray(ctrl, dtype=np.float64))
+        self.qpos = np.asarray(q)
+        self.qvel = np.asarray(qd)
+
+    # -- kinematics helpers ------------------------------------------------
+
+    def body_index(self, name: str) -> int:
+        """Index of a named body."""
+        return self.meta["body_names"].index(name)
+
+    def body_xpos(self, name: str) -> np.ndarray:
+        """World position of a named body's frame origin."""
+        _, p = self._dyn["fk"](self.qpos)
+        return np.asarray(p)[self.body_index(name)]
+
+    def state_vector(self) -> np.ndarray:
+        """Concatenated (qpos, qvel)."""
+        return np.concatenate([self.qpos, self.qvel])
+
+    # -- reset -------------------------------------------------------------
+
+    def reset(self, *, seed: int | None = None, options: dict[str, Any] | None = None):
+        super().reset(seed=seed)
+        self.qpos, self.qvel = self._sample_initial_state()
+        obs = self._get_obs()
+        if self.render_mode == "human":
+            self.render()
+        return obs, self._reset_info()
+
+    def _sample_initial_state(self) -> tuple[np.ndarray, np.ndarray]:
+        noise = self._reset_noise_scale
+        qpos = self.init_qpos + self.np_random.uniform(
+            low=-noise, high=noise, size=self.model.nv
+        )
+        qvel = self.init_qvel + noise * self.np_random.standard_normal(self.model.nv)
+        return qpos, qvel
+
+    def _reset_info(self) -> dict[str, Any]:
+        return {}
+
+    def _get_obs(self) -> np.ndarray:
+        raise NotImplementedError
+
+    # -- rendering ---------------------------------------------------------
+
+    def render(self):
+        if self.render_mode is None:
+            gym.logger.warn(
+                "You are calling render method without specifying any render mode."
+            )
+            return None
+        frame = self._render_side_view()
+        if self.render_mode == "human":
+            if self._display is None:
+                from gymnasium_tpu.utils.human_display import HumanDisplay
+
+                self._display = HumanDisplay(
+                    480, 480, self.metadata["render_fps"], type(self).__name__
+                )
+            self._display.show(frame)
+            return None
+        return frame
+
+    def _render_side_view(self, width: int = 480, height: int = 480) -> np.ndarray:
+        """Schematic x-z side view of the contact spheres and body frames."""
+        from gymnasium_tpu.utils.raster import Canvas
+
+        canvas = Canvas(width, height, (240, 240, 245))
+        R, p = self._dyn["fk"](self.qpos)
+        p = np.asarray(p)
+        scale = 100.0
+        cx = width / 2 - p[0, 0] * scale
+        ground_y = height * 0.8
+        canvas.hline(ground_y, (60, 120, 60), 3)
+
+        # links: line from each body to its parent
+        for b in range(1, len(self.model.bodies.parent)):
+            parent = int(self.model.bodies.parent[b])
+            if parent < 0:
+                continue
+            canvas.line(
+                (cx + p[parent, 0] * scale, ground_y - p[parent, 2] * scale),
+                (cx + p[b, 0] * scale, ground_y - p[b, 2] * scale),
+                (90, 90, 140),
+                4,
+            )
+        # contact spheres
+        pts = np.asarray(self._dyn["contact_points"](self.qpos))
+        for k in range(len(pts)):
+            canvas.circle(
+                (cx + pts[k, 0] * scale, ground_y - pts[k, 2] * scale),
+                max(self.model.contact_radius[k] * scale, 2),
+                (200, 120, 90),
+            )
+        return canvas.rgb_array()
+
+    def close(self):
+        if self._display is not None:
+            self._display.close()
+            self._display = None

@@ -1,0 +1,90 @@
+"""Compile the reference MJCF robot assets into committed spec tables.
+
+Run once during development: reads MuJoCo XML models (standard published
+robot descriptions) and writes ``gymnasium_tpu/envs/mujoco/models/*.npz``
+containing the ArticulatedModel arrays. The envs load these at runtime; the
+XML compiler (gymnasium_tpu/envs/mujoco/mjcf.py) remains available for
+user-supplied models.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from gymnasium_tpu.envs.mujoco.mjcf import compile_mjcf
+
+ASSETS = os.environ.get(
+    "MJCF_ASSET_DIR", "/root/reference/gymnasium/envs/mujoco/assets"
+)
+OUT = os.path.join(os.path.dirname(__file__), "..", "gymnasium_tpu", "envs", "mujoco", "models")
+
+MODELS = [
+    "half_cheetah",
+    "hopper",
+    "walker2d",
+    "walker2d_v5",
+    "swimmer",
+    "ant",
+    "humanoid",
+    "humanoidstandup",
+    "inverted_pendulum",
+    "inverted_double_pendulum",
+    "reacher",
+    "pusher",
+    "pusher_v5",
+]
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    for name in MODELS:
+        path = os.path.join(ASSETS, f"{name}.xml")
+        if not os.path.exists(path):
+            print(f"skip {name}: no asset")
+            continue
+        model, meta = compile_mjcf(path)
+        arrays = {
+            "bodies_parent": model.bodies.parent,
+            "bodies_pos": model.bodies.pos,
+            "bodies_quat": model.bodies.quat,
+            "bodies_mass": model.bodies.mass,
+            "bodies_com": model.bodies.com,
+            "bodies_inertia": model.bodies.inertia,
+            "bodies_dof_start": model.bodies.dof_start,
+            "bodies_dof_count": model.bodies.dof_count,
+            "joints_body": model.joints.body,
+            "joints_jtype": model.joints.jtype,
+            "joints_axis": model.joints.axis,
+            "joints_anchor": model.joints.anchor,
+            "joints_damping": model.joints.damping,
+            "joints_limited": model.joints.limited,
+            "joints_lower": model.joints.lower,
+            "joints_upper": model.joints.upper,
+            "joints_stiffness": model.joints.stiffness,
+            "joints_armature": model.joints.armature,
+            "joints_ref": model.joints.ref,
+            "contact_body": model.contact_body,
+            "contact_pos": model.contact_pos,
+            "contact_radius": model.contact_radius,
+            "act_dof": model.act_dof,
+            "act_gear": model.act_gear,
+            "act_ctrlrange": model.act_ctrlrange,
+            "gravity": np.float64(model.gravity),
+            "timestep": np.float64(model.timestep),
+            "meta_json": np.bytes_(json.dumps(meta).encode()),
+        }
+        np.savez_compressed(os.path.join(OUT, f"{name}.npz"), **arrays)
+        print(
+            f"{name}: nv={model.nv} nu={model.nu} bodies={len(model.bodies.parent)} "
+            f"mass={model.bodies.mass.sum():.2f} contacts={len(model.contact_body)}"
+        )
+
+
+if __name__ == "__main__":
+    main()
