@@ -45,6 +45,8 @@ class InvertedDoublePendulumEnv(MujocoEnv, EzPickle):
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,
         )
+        # obs = [x, sin q1, sin q2, cos q1, cos q2, v0, v1, v2, constraint]
+        # (the 9th slot is the reference's qfrc_constraint — zero here)
 
     def _sample_initial_state(self):
         noise = self._reset_noise_scale
@@ -59,6 +61,7 @@ class InvertedDoublePendulumEnv(MujocoEnv, EzPickle):
                 np.sin(self.qpos[1:]),
                 np.cos(self.qpos[1:]),
                 np.clip(self.qvel, -10, 10),
+                [0.0],
             ]
         ).astype(np.float64)
 
@@ -97,7 +100,13 @@ class InvertedDoublePendulumFunctional(MujocoFuncEnv):
 
         q = state["qpos"]
         return jnp.concatenate(
-            [q[:1], jnp.sin(q[1:]), jnp.cos(q[1:]), jnp.clip(state["qvel"], -10, 10)]
+            [
+                q[:1],
+                jnp.sin(q[1:]),
+                jnp.cos(q[1:]),
+                jnp.clip(state["qvel"], -10, 10),
+                jnp.zeros(1),
+            ]
         )
 
     def reward(self, state, action, next_state, rng, params: Any = None):

@@ -75,9 +75,12 @@ class Discrete(Space[np.int64]):
     def contains(self, x: Any) -> bool:
         if isinstance(x, int):
             as_int64 = np.int64(x)
-        elif isinstance(x, (np.generic, np.ndarray)) and (
-            np.issubdtype(x.dtype, np.integer) and x.shape == ()
+        elif (
+            hasattr(x, "dtype")
+            and np.issubdtype(x.dtype, np.integer)
+            and getattr(x, "shape", None) == ()
         ):
+            # covers numpy scalars/0-d arrays and device (jax) scalars
             as_int64 = np.int64(x)
         else:
             return False
