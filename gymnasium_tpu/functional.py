@@ -273,7 +273,8 @@ def make_autoreset_step(
                 reset_state,
                 next_state,
             )
-            steps = jnp.where(prev_done, 1, carry.steps + 1)
+            # the reset step performs no transition: new episode starts at 0
+            steps = jnp.where(prev_done, 0, carry.steps + 1)
         else:
             state = next_state
             steps = carry.steps + 1

@@ -95,8 +95,15 @@ class JaxVectorEnv(VectorEnv):
             return tree
 
         def put(leaf):
-            if leaf.ndim == 0:
-                return leaf
+            # Only leaves carrying the env-batch axis shard; scalars and the
+            # shared PRNG key replicate.
+            if leaf.ndim == 0 or leaf.shape[0] != self.num_envs:
+                return jax.device_put(
+                    leaf,
+                    jax.sharding.NamedSharding(
+                        self.sharding.mesh, jax.sharding.PartitionSpec()
+                    ),
+                )
             spec = jax.sharding.PartitionSpec(
                 *(self.sharding.spec + (None,) * (leaf.ndim - len(self.sharding.spec)))
             )
