@@ -106,6 +106,7 @@ register(
 register(
     id="FrozenLake-v1",
     entry_point="gymnasium_tpu.envs.toy_text.frozen_lake:FrozenLakeEnv",
+    vector_entry_point="gymnasium_tpu.vector.native_tabular:make_frozen_lake_vector",
     jax_entry_point="gymnasium_tpu.envs.tabular.frozen_lake:FrozenLakeFunctional",
     kwargs={"map_name": "4x4"},
     max_episode_steps=100,
@@ -115,6 +116,7 @@ register(
 register(
     id="FrozenLake8x8-v1",
     entry_point="gymnasium_tpu.envs.toy_text.frozen_lake:FrozenLakeEnv",
+    vector_entry_point="gymnasium_tpu.vector.native_tabular:make_frozen_lake_vector",
     jax_entry_point="gymnasium_tpu.envs.tabular.frozen_lake:FrozenLake8x8Functional",
     kwargs={"map_name": "8x8"},
     max_episode_steps=200,
@@ -124,6 +126,7 @@ register(
 register(
     id="CliffWalking-v1",
     entry_point="gymnasium_tpu.envs.toy_text.cliffwalking:CliffWalkingEnv",
+    vector_entry_point="gymnasium_tpu.vector.native_tabular:make_cliffwalking_vector",
     jax_entry_point="gymnasium_tpu.envs.tabular.cliffwalking:CliffWalkingFunctional",
     kwargs={"is_slippery": False},
 )
@@ -137,6 +140,7 @@ register(
 register(
     id="Taxi-v3",
     entry_point="gymnasium_tpu.envs.toy_text.taxi:TaxiEnv",
+    vector_entry_point="gymnasium_tpu.vector.native_tabular:make_taxi_vector",
     jax_entry_point="gymnasium_tpu.envs.tabular.taxi:TaxiFunctional",
     max_episode_steps=200,
     reward_threshold=8,
