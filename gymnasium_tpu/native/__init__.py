@@ -87,6 +87,6 @@ class TabularBatchStepper:
         # vectorized numpy fallback with identical sampling semantics
         p = self.probs[states, actions]  # (n, K)
         k = np.argmax(np.cumsum(p, axis=-1) > uniforms[:, None], axis=-1)
-        idx = (states, actions, k)
+        idx = (states.copy(), actions, k)  # snapshot before the in-place update
         states[:] = self.next_state[idx]
         return self.reward[idx], self.term[idx]
