@@ -227,9 +227,20 @@ register(
 )
 
 
-# --- MuJoCo (MJX-style batched joint dynamics) ----------------------------
+# --- MuJoCo (autodiff articulated engine) ---------------------------------
+
+
+def _raise_mujoco_py_error(*args, **kwargs):
+    raise ImportError(
+        "The mujoco v2 and v3 based environments have been moved to the gymnasium-robotics project (https://github.com/Farama-Foundation/gymnasium-robotics)."
+    )
+
 
 def _register_mujoco(name: str, reward_threshold: float | None = None, **kwargs):
+    # v2/v3 ids raise the same redirection error as the reference
+    register(id=f"{name}-v2", entry_point=_raise_mujoco_py_error)
+    if name not in ("Reacher", "Pusher", "InvertedPendulum", "InvertedDoublePendulum"):
+        register(id=f"{name}-v3", entry_point=_raise_mujoco_py_error)
     for version in ("v4", "v5"):
         register(
             id=f"{name}-{version}",
@@ -258,3 +269,17 @@ _register_mujoco("Walker2d")
 _register_mujoco("Ant", reward_threshold=6000.0)
 _register_mujoco("Humanoid")
 _register_mujoco("HumanoidStandup")
+
+
+# --- Shimmy compatibility stubs (reference envs/__init__.py:415-423) ------
+
+
+def _raise_shimmy_error(*args, **kwargs):
+    raise ImportError(
+        'To use the gym compatibility environments, run `pip install "shimmy[gym-v21]"` or `pip install "shimmy[gym-v26]"`'
+    )
+
+
+# When installed, shimmy re-registers these with real entry points.
+register(id="GymV21Environment-v0", entry_point=_raise_shimmy_error)
+register(id="GymV26Environment-v0", entry_point=_raise_shimmy_error)
