@@ -27,6 +27,9 @@ ALL_IDS = sorted(
     if spec.entry_point is not None and spec_id not in SKIP_IDS
     # test v5 once; v4 aliases share classes
     and not spec_id.endswith("-v4")
+    # skip stub entry points that exist only to raise informative ImportErrors
+    # (mujoco v2/v3, shimmy compat) — pattern: reference tests/envs/utils.py try_make_env
+    and not (callable(spec.entry_point) and spec.entry_point.__name__.startswith("_raise"))
 )
 
 
