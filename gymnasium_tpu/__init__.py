@@ -42,6 +42,9 @@ __all__ = [
     "spec",
     "registry",
     "pprint_registry",
+    "register_envs",
+    "VectorizeMode",
+    "experimental",
     "VectorEnv",
     "VectorWrapper",
     "VectorObservationWrapper",
@@ -54,7 +57,16 @@ __all__ = [
 def __getattr__(name):
     # Registration/vector/wrapper layers import lazily so that space-only and
     # functional-only users don't pay for the full framework import.
-    if name in ("register", "make", "make_vec", "spec", "registry", "pprint_registry"):
+    if name in (
+        "register",
+        "make",
+        "make_vec",
+        "spec",
+        "registry",
+        "pprint_registry",
+        "register_envs",
+        "VectorizeMode",
+    ):
         import gymnasium_tpu.envs  # noqa: F401  (populates the registry)
         from gymnasium_tpu.envs import registration
 
@@ -69,7 +81,7 @@ def __getattr__(name):
         from gymnasium_tpu import vector
 
         return getattr(vector, name)
-    if name in ("envs", "vector", "wrappers", "utils", "functional"):
+    if name in ("envs", "vector", "wrappers", "utils", "functional", "experimental"):
         import importlib
 
         return importlib.import_module(f"gymnasium_tpu.{name}")

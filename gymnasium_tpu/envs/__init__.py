@@ -239,7 +239,13 @@ def _raise_mujoco_py_error(*args, **kwargs):
 def _register_mujoco(name: str, reward_threshold: float | None = None, **kwargs):
     # v2/v3 ids raise the same redirection error as the reference
     register(id=f"{name}-v2", entry_point=_raise_mujoco_py_error)
-    if name not in ("Reacher", "Pusher", "InvertedPendulum", "InvertedDoublePendulum"):
+    if name not in (
+        "Reacher",
+        "Pusher",
+        "InvertedPendulum",
+        "InvertedDoublePendulum",
+        "HumanoidStandup",
+    ):
         register(id=f"{name}-v3", entry_point=_raise_mujoco_py_error)
     for version in ("v4", "v5"):
         register(

@@ -38,6 +38,7 @@ __all__ = [
     "make_vec",
     "spec",
     "pprint_registry",
+    "register_envs",
     "namespace",
     "VectorizeMode",
     "parse_env_id",
@@ -285,6 +286,11 @@ def namespace(ns: str):
         yield
     finally:
         current_namespace = old_namespace
+
+
+def register_envs(env_module) -> None:
+    """No-op marker so IDEs see a plugin module import as used
+    (reference registration.py:550)."""
 
 
 def load_env_creator(name: str) -> Callable:
