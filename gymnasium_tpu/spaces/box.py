@@ -35,10 +35,13 @@ def _cast_bound(bound: np.ndarray, dtype: np.dtype, is_low: bool) -> np.ndarray:
         out[np.isneginf(out)] = info.min
         out[np.isposinf(out)] = info.max
         return out.astype(dtype)
-    if dtype == np.dtype(np.float16):
-        # float16 cannot represent very large finite floats; clamp.
-        finfo = np.finfo(np.float16)
-        out = np.clip(bound, -np.float64(finfo.max), np.float64(finfo.max))
+    if dtype.kind == "f" and dtype.itemsize < 8:
+        # Narrow float dtypes cannot represent very large finite floats; clamp
+        # finite out-of-range bounds to the dtype limits (infinities pass through).
+        finfo = np.finfo(dtype)
+        finite = np.isfinite(bound)
+        out = bound.copy()
+        out[finite] = np.clip(out[finite], -np.float64(finfo.max), np.float64(finfo.max))
         return out.astype(dtype)
     return bound.astype(dtype)
 

@@ -31,6 +31,9 @@ class Dict(Space[typing.Dict[str, Any]], collections.abc.Mapping):
         )
         if spaces is None:
             spaces = dict(spaces_kwargs)
+        elif isinstance(spaces, collections.OrderedDict):
+            # An explicit OrderedDict preserves insertion order (reference dict.py:71).
+            spaces = dict(spaces.items())
         elif isinstance(spaces, collections.abc.Mapping):
             # Sort non-OrderedDict keys for reproducible flatten order.
             try:

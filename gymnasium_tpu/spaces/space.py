@@ -52,7 +52,10 @@ class Space(Generic[T_cov]):
         """Lazily-initialised PCG64 generator used by :meth:`sample`."""
         if self._np_random is None:
             self.seed()
-        assert self._np_random is not None
+        if self._np_random is None:
+            # Composite spaces' seed() seeds the subspaces without setting
+            # _np_random (reference space.py:74-79) — fall back to fresh entropy.
+            self._np_random, _ = seeding.np_random()
         return self._np_random
 
     @np_random.setter

@@ -71,7 +71,9 @@ class Text(Space[str]):
 
     @property
     def is_np_flattenable(self) -> bool:
-        return False
+        """Flattens to an int32 char-index array padded to max_length
+        (reference text.py:222)."""
+        return True
 
     def sample(
         self,
