@@ -9,10 +9,12 @@ import numpy as np
 __all__ = ["data_equivalence"]
 
 
-def data_equivalence(data_1: Any, data_2: Any, exact: bool = True) -> bool:
+def data_equivalence(data_1: Any, data_2: Any, exact: bool = False) -> bool:
     """Whether two (possibly nested) data structures are equivalent.
 
-    With ``exact=False`` float arrays compare with a small tolerance.
+    With ``exact=False`` (the default, reference env_checker.py:33) float
+    arrays compare with a small absolute tolerance; ``exact=True`` compares
+    bit-for-bit.
     """
     if type(data_1) is not type(data_2):
         return False

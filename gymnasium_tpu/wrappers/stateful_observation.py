@@ -234,8 +234,9 @@ class NormalizeObservation(gym.ObservationWrapper, RecordConstructorArgs):
         """Normalize with the current running statistics."""
         if self._update_running_mean:
             self.obs_rms.update(np.array([observation]))
-        return np.float64(
-            (observation - self.obs_rms.mean) / np.sqrt(self.obs_rms.var + self.epsilon)
+        return np.asarray(
+            (observation - self.obs_rms.mean) / np.sqrt(self.obs_rms.var + self.epsilon),
+            dtype=np.float64,
         )
 
 
