@@ -132,10 +132,6 @@ class VectorEnv(Generic[ObsType, ActType, ArrayType]):
         ``_key`` presence mask; nested dicts recurse.
         """
         for key, value in env_info.items():
-            if key == "episode":
-                # episode statistics already arrive batched from wrappers
-                vector_infos[key] = value
-                continue
             if isinstance(value, dict):
                 array = self._add_info(vector_infos.get(key, {}), value, env_num)
             else:
