@@ -32,6 +32,7 @@ class AntEnv(MujocoEnv, EzPickle):
         healthy_z_range: tuple[float, float] = (0.2, 1.0),
         reset_noise_scale: float = 0.1,
         exclude_current_positions_from_observation: bool = True,
+        include_cfrc_ext_in_observation: bool = True,
         render_mode: str | None = None,
         **kwargs: Any,
     ):
@@ -44,6 +45,7 @@ class AntEnv(MujocoEnv, EzPickle):
             healthy_z_range,
             reset_noise_scale,
             exclude_current_positions_from_observation,
+            include_cfrc_ext_in_observation,
             render_mode,
             **kwargs,
         )
@@ -53,7 +55,12 @@ class AntEnv(MujocoEnv, EzPickle):
         self.terminate_when_unhealthy = terminate_when_unhealthy
         self._healthy_z_range = healthy_z_range
         self._exclude_xy = exclude_current_positions_from_observation
+        self._include_cfrc = include_cfrc_ext_in_observation
+        # 13 + 14 (+2 with xy) plus cfrc_ext[1:] = 13 bodies x 6
+        # (reference ant_v5.py:393-404: 105-dim by default)
         obs_dim = 27 if exclude_current_positions_from_observation else 29
+        if include_cfrc_ext_in_observation:
+            obs_dim += 13 * 6
         super().__init__(
             "ant",
             frame_skip=5,
@@ -86,9 +93,14 @@ class AntEnv(MujocoEnv, EzPickle):
         z = np.array([self.torso_z])
         joints = self.qpos[6:]
         qvel = np.concatenate([self.qvel[:3], omega, self.qvel[6:]])
-        if self._exclude_xy:
-            return np.concatenate([z, quat, joints, qvel]).astype(np.float64)
-        return np.concatenate([self.qpos[:2], z, quat, joints, qvel]).astype(np.float64)
+        parts = [] if self._exclude_xy else [self.qpos[:2]]
+        parts += [z, quat, joints, qvel]
+        if self._include_cfrc:
+            # per-body external contact wrenches (reference data.cfrc_ext[1:]);
+            # the soft-contact engine does not yet aggregate per body, so the
+            # block is zeros — correct shape, conservative values
+            parts.append(np.zeros(13 * 6))
+        return np.concatenate(parts).astype(np.float64)
 
     def step(self, action):
         xy_before = self.qpos[:2].copy()
@@ -126,7 +138,7 @@ class AntFunctional(MujocoFuncEnv):
 
     def __init__(self, options: dict[str, Any] | None = None):
         super().__init__(options)
-        self.observation_space = spaces.Box(-np.inf, np.inf, (27,), np.float64)
+        self.observation_space = spaces.Box(-np.inf, np.inf, (105,), np.float64)
         self._z0 = float(self.model.bodies.pos[0][2])
 
     def observation(self, state, rng, params: Any = None):
@@ -136,7 +148,8 @@ class AntFunctional(MujocoFuncEnv):
         quat = euler_to_quat(jnp, q[3:6])
         omega = euler_rates_to_omega(jnp, q[3:6], qd[3:6])
         z = jnp.asarray([self._z0 + q[2]])
-        return jnp.concatenate([z, quat, q[6:], qd[:3], omega, qd[6:]])
+        cfrc_ext = jnp.zeros(13 * 6)  # see AntEnv._get_obs
+        return jnp.concatenate([z, quat, q[6:], qd[:3], omega, qd[6:], cfrc_ext])
 
     def reward(self, state, action, next_state, rng, params: Any = None):
         import jax.numpy as jnp

@@ -24,6 +24,7 @@ class HopperEnv(PlanarLocomotionEnv, EzPickle):
     ctrl_cost_weight = 1e-3
     healthy_reward = 1.0
     velocity_clip = 10.0
+    z_index = 1
 
     def __init__(
         self,

@@ -20,14 +20,16 @@ from gymnasium_tpu.utils.ezpickle import EzPickle
 
 __all__ = ["HumanoidEnv", "HumanoidFunctional"]
 
-# observation block sizes mirror the reference: 14 bodies including world
-_NBODY_OBS = 14
+# observation block row count: reference uses data.cinert[1:] etc. — every
+# body EXCEPT the world (reference humanoid_v5.py:441-456). Our compiled model
+# keeps only real bodies, so all 13 rows are used with no world padding.
+_NBODY_OBS = 13
 
 
 def _com_inertia_block(model, qpos_unused=None) -> np.ndarray:
     """Static per-body [mass, m*com (3), inertia diag (3), inertia off (3)]
-    rows — the cinert-equivalent block (world row zero)."""
-    rows = [np.zeros(10)]
+    rows — the cinert-equivalent block (reference data.cinert[1:], 13x10)."""
+    rows = []
     for b in range(len(model.bodies.mass)):
         m = model.bodies.mass[b]
         com = model.bodies.com[b]
@@ -83,7 +85,9 @@ class HumanoidEnv(MujocoEnv, EzPickle):
         self.terminate_when_unhealthy = terminate_when_unhealthy
         self._healthy_z_range = healthy_z_range
         self._exclude_xy = exclude_current_positions_from_observation
-        obs_dim = 376 if exclude_current_positions_from_observation else 378
+        # 22 + 23 + cinert 130 + cvel 78 + qfrc_actuator[6:] 17 + cfrc_ext 78
+        # (reference humanoid_v5.py:436-470: 348-dim by default)
+        obs_dim = 348 if exclude_current_positions_from_observation else 350
         super().__init__(
             self.model_name_default,
             frame_skip=5,
@@ -113,8 +117,8 @@ class HumanoidEnv(MujocoEnv, EzPickle):
 
         _, vel = jax.jvp(com, (self.qpos,), (self.qvel,))
         vel = np.asarray(vel)
-        rows = [np.zeros(6)]
-        for b in range(min(len(vel), _NBODY_OBS - 1)):
+        rows = []
+        for b in range(min(len(vel), _NBODY_OBS)):
             rows.append(np.concatenate([vel[b], np.zeros(3)]))
         while len(rows) < _NBODY_OBS:
             rows.append(np.zeros(6))
@@ -128,8 +132,9 @@ class HumanoidEnv(MujocoEnv, EzPickle):
         if not self._exclude_xy:
             position = np.concatenate([self.qpos[:2], position])
         velocity = np.concatenate([self.qvel[:3], omega, self.qvel[6:]])
-        actuator_forces = np.zeros(self.model.nv)
-        actuator_forces[self.model.act_dof] = self.model.act_gear * self._last_ctrl
+        qfrc_actuator = np.zeros(self.model.nv)
+        qfrc_actuator[self.model.act_dof] = self.model.act_gear * self._last_ctrl
+        actuator_forces = qfrc_actuator[6:]  # reference qfrc_actuator[6:] (17)
         cfrc_ext = np.zeros(_NBODY_OBS * 6)
         return np.concatenate(
             [position, velocity, self._cinert, self._com_velocity_block(), actuator_forces, cfrc_ext]

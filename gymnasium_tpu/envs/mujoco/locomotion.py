@@ -25,6 +25,9 @@ class PlanarLocomotionEnv(MujocoEnv):
     terminate_when_unhealthy: bool = True
     velocity_clip: float = np.inf
     exclude_x: bool = True
+    # planar robots with a root z slide report info["z_distance_from_origin"]
+    # (reference hopper_v5.py:294, walker2d_v5.py) — qpos index of the z dof
+    z_index: int | None = None
 
     def control_cost(self, action) -> float:
         """Quadratic actuation cost."""
@@ -59,6 +62,10 @@ class PlanarLocomotionEnv(MujocoEnv):
             "reward_ctrl": -ctrl_cost,
             "reward_survive": healthy_reward,
         }
+        if self.z_index is not None:
+            info["z_distance_from_origin"] = float(
+                self.qpos[self.z_index] - self.init_qpos[self.z_index]
+            )
         if self.render_mode == "human":
             self.render()
         return self._get_obs(), reward, terminated, False, info

@@ -354,6 +354,17 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
         if child.tag == "body":
             walk_body(child, -1, "")
 
+    # Ground plane height: the top-most collidable plane geom in the world.
+    # Models without a floor (none in-tree) keep the engine's ground far away.
+    ground_z = None
+    for geom in worldbody.findall("geom"):
+        attrs = defaults.get("geom", geom, "")
+        if attrs.get("type") == "plane" and attrs.get("contype", "1") != "0":
+            z = float(_parse_vec(attrs.get("pos"), [0, 0, 0])[2])
+            ground_z = z if ground_z is None else max(ground_z, z)
+    if ground_z is None:
+        ground_z = -1e9
+
     # settotalmass: scale all masses/inertias to the target total
     if settotalmass is not None:
         total = sum(b["mass"] for b in bodies)
@@ -417,6 +428,7 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
         act_ctrlrange=np.array(act_ctrlrange) if act_ctrlrange else np.zeros((0, 2)),
         gravity=gravity,
         timestep=timestep,
+        ground_z=ground_z,
     )
     meta = {
         "body_names": [b["name"] for b in bodies],

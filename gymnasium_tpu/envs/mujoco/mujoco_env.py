@@ -67,6 +67,7 @@ def load_model(name: str) -> tuple[ArticulatedModel, dict]:
         act_ctrlrange=data["act_ctrlrange"],
         gravity=float(data["gravity"]),
         timestep=float(data["timestep"]),
+        ground_z=float(data["ground_z"]) if "ground_z" in data else 0.0,
     )
     meta = json.loads(bytes(data["meta_json"]).decode())
     return model, meta
@@ -193,11 +194,16 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
         return obs, self._reset_info()
 
     def _sample_initial_state(self) -> tuple[np.ndarray, np.ndarray]:
+        # uniform qpos AND qvel noise — the reference's most common scheme
+        # (hopper_v5.py:329, walker2d_v5.py:329, swimmer_v5.py:278); robots
+        # with gaussian qvel noise (half-cheetah, ant, IDP) override this
         noise = self._reset_noise_scale
         qpos = self.init_qpos + self.np_random.uniform(
             low=-noise, high=noise, size=self.model.nv
         )
-        qvel = self.init_qvel + noise * self.np_random.standard_normal(self.model.nv)
+        qvel = self.init_qvel + self.np_random.uniform(
+            low=-noise, high=noise, size=self.model.nv
+        )
         return qpos, qvel
 
     def _reset_info(self) -> dict[str, Any]:

@@ -79,6 +79,9 @@ class ArticulatedModel(NamedTuple):
     contact_damping: float = 100.0
     friction: float = 1.0
     limit_stiffness: float = 500.0
+    # world ground-plane height; -inf-like when the model has no floor
+    # (e.g. Pusher's table sits at z=-0.325, reference pusher_v5.xml:18)
+    ground_z: float = 0.0
 
     @property
     def nv(self) -> int:
@@ -234,7 +237,7 @@ def make_dynamics(model: ArticulatedModel):
         k_c = jnp.minimum(model.contact_stiffness, m_eff / model.timestep**2)
         c_c = 1.4 * jnp.sqrt(k_c * m_eff)
 
-        depth = radii - pts[:, 2]
+        depth = radii - (pts[:, 2] - model.ground_z)
         in_contact = depth > 0.0
         fn = jnp.where(in_contact, k_c * depth - c_c * vels[:, 2], 0.0)
         fn = jnp.maximum(fn, 0.0)

@@ -77,6 +77,7 @@ def main() -> None:
             "act_ctrlrange": model.act_ctrlrange,
             "gravity": np.float64(model.gravity),
             "timestep": np.float64(model.timestep),
+            "ground_z": np.float64(model.ground_z),
             "meta_json": np.bytes_(json.dumps(meta).encode()),
         }
         np.savez_compressed(os.path.join(OUT, f"{name}.npz"), **arrays)
