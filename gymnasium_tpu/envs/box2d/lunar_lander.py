@@ -90,7 +90,7 @@ class LunarLander(gym.Env[np.ndarray, Any], EzPickle):
 
     def reset(self, *, seed: int | None = None, options: dict[str, Any] | None = None):
         super().reset(seed=seed)
-        terrain_u = self.np_random.uniform(0, 1, size=(dyn.CHUNKS,))
+        terrain_u = self.np_random.uniform(0, 1, size=(dyn.CHUNKS + 1,))
         force_u = self.np_random.uniform(-1, 1, size=(2,))
         self.state = dyn.initial_state(np, terrain_u[None], force_u[None], self.params)
         self._wind_idx = int(self.np_random.integers(-9999, 9999))
@@ -221,7 +221,7 @@ class LunarLanderFunctional(FuncEnv):
 
         params = params or self._default_params
         k_terrain, k_force = jax.random.split(rng)
-        terrain_u = jax.random.uniform(k_terrain, (1, dyn.CHUNKS))
+        terrain_u = jax.random.uniform(k_terrain, (1, dyn.CHUNKS + 1))
         force_u = jax.random.uniform(k_force, (1, 2), minval=-1.0, maxval=1.0)
         state = dyn.initial_state(jnp, terrain_u, force_u, params)
         # strip the length-1 batch axis: hooks are per-env and get vmapped

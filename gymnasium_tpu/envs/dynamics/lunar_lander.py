@@ -113,31 +113,29 @@ class LunarParams(NamedTuple):
     turbulence_power: Any = 1.5
 
 
-def generate_terrain(xp, uniform11):
-    """Terrain chunk heights from 11 uniform(0, H/2) draws.
+def generate_terrain(xp, uniform12):
+    """Terrain chunk heights from CHUNKS+1 uniform(0, 1) draws.
 
-    Mirrors the reference: helipad chunks pinned to H/4, 3-tap smoothing.
-    ``uniform11``: draws of shape (..., CHUNKS).
+    Bit-faithful to the reference (lunar_lander.py:344-357): 12 raw heights,
+    helipad chunks pinned to H/4 BEFORE smoothing, then
+    ``smooth_y[i] = 0.33*(height[i-1] + height[i] + height[i+1])`` where
+    ``height[-1]`` wraps to the final draw (python negative indexing in the
+    reference's list comprehension).
+    ``uniform12``: draws of shape (..., CHUNKS + 1).
     Returns smooth heights of shape (..., CHUNKS).
     """
-    height = uniform11 * (H / 2)
+    height = uniform12 * (H / 2)
     mid = CHUNKS // 2
-    # Pin the helipad area flat.
+    # Pin the helipad area flat (pre-smoothing, as the reference does).
     for i in range(mid - 2, mid + 3):
         if hasattr(height, "at"):
             height = height.at[..., i].set(HELIPAD_Y)
         else:
             height[..., i] = HELIPAD_Y
-    prev = xp.concatenate([height[..., :1], height[..., :-1]], axis=-1)
-    nxt = xp.concatenate([height[..., 1:], height[..., -1:]], axis=-1)
-    smooth = 0.33 * (prev + height + nxt)
-    # Keep the helipad exactly flat after smoothing.
-    for i in range(mid - 1, mid + 2):
-        if hasattr(smooth, "at"):
-            smooth = smooth.at[..., i].set(HELIPAD_Y)
-        else:
-            smooth[..., i] = HELIPAD_Y
-    return smooth
+    prev = xp.concatenate([height[..., -1:], height[..., : CHUNKS - 1]], axis=-1)
+    cur = height[..., :CHUNKS]
+    nxt = height[..., 1 : CHUNKS + 1]
+    return 0.33 * (prev + cur + nxt)
 
 
 def ground_height(xp, terrain, x):
@@ -324,7 +322,7 @@ def initial_state(xp, terrain_uniform, force_uniform2, params: LunarParams):
     vy = kick[..., 1] * params.dt / params.mass
     body = xp.stack([x, y, vx, vy, zeros, zeros], axis=-1)
     obs0 = observe(xp, body, zeros > 1, zeros > 1)
-    return {
+    state = {
         "body": body,
         "terrain": terrain,
         "leg1": zeros > 1.0,
@@ -334,6 +332,14 @@ def initial_state(xp, terrain_uniform, force_uniform2, params: LunarParams):
         "prev_shaping": shaping(xp, obs0),
         "r": zeros,
     }
+    # The reference's reset runs one no-op physics tick and returns its obs
+    # (reference lunar_lander.py:448: `return self.step(noop)[0]`) — so the
+    # first observation shows one tick of free fall under the initial kick.
+    # No engines fire, so the dispersion draw is irrelevant; wind is omitted
+    # for this single tick.
+    noop = xp.zeros(batch_shape, dtype=xp.int32)
+    wind0 = xp.zeros(batch_shape + (2,))
+    return full_step(xp, state, noop, wind0, wind0, params, continuous=False)
 
 
 def full_step(xp, state, action, dispersion, wind, params: LunarParams, continuous: bool):
