@@ -167,6 +167,10 @@ def make_dynamics(model: ArticulatedModel):
     import jax
     import jax.numpy as jnp
 
+    # NOTE: all tiny tensor contractions below are written as
+    # broadcast-multiply-sum instead of einsum/matmul: dims of size 3/7/9
+    # would be MXU-tile-padded to 128 by dot_general, costing ~50x on TPU.
+
     nv = model.nv
     nbody = len(model.bodies.parent)
     masses = jnp.asarray(model.bodies.mass)
@@ -176,7 +180,7 @@ def make_dynamics(model: ArticulatedModel):
 
     def com_world(q):
         R, p = fk(model, q)
-        return p + jnp.einsum("bij,bj->bi", R, coms), R
+        return p + jnp.sum(R * coms[:, None, :], axis=-1), R
 
     def body_rotations_flat(q):
         R, p = fk(model, q)
@@ -186,11 +190,12 @@ def make_dynamics(model: ArticulatedModel):
         # linear com velocities and angular velocities via one jvp each
         (pc, R), (pc_dot, R_dot) = jax.jvp(com_world, (q,), (qd,))
         # omega from skew(R_dot R^T)
-        W = jnp.einsum("bij,bkj->bik", R_dot, R)
+        W = jnp.sum(R_dot[:, :, None, :] * R[:, None, :, :], axis=-1)
         omega = jnp.stack([W[:, 2, 1], W[:, 0, 2], W[:, 1, 0]], axis=-1)
-        I_world = jnp.einsum("bij,bjk,blk->bil", R, inertias, R)
+        RI = jnp.sum(R[:, :, :, None] * inertias[:, None, :, :], axis=2)
+        I_world = jnp.sum(RI[:, :, None, :] * R[:, None, :, :], axis=-1)
         T_lin = 0.5 * jnp.sum(masses * jnp.sum(pc_dot**2, axis=-1))
-        T_ang = 0.5 * jnp.sum(jnp.einsum("bi,bij,bj->b", omega, I_world, omega))
+        T_ang = 0.5 * jnp.sum(jnp.sum(I_world * omega[:, :, None] * omega[:, None, :], axis=(1, 2)))
         T_arm = 0.5 * jnp.sum(jnp.asarray(model.joints.armature) * qd**2)
         return T_lin + T_ang + T_arm
 
@@ -201,39 +206,89 @@ def make_dynamics(model: ArticulatedModel):
         spring = 0.5 * jnp.sum(jnp.asarray(model.joints.stiffness) * dq**2)
         return -jnp.sum(masses * g * pc[:, 2]) + spring
 
+    armature = jnp.asarray(model.joints.armature)
+
+    contact_offs = jnp.asarray(model.contact_pos)
+    has_contacts = len(model.contact_body) > 0
+    # Static gathers as one-hot matmuls: indexed gathers lower to serial
+    # dynamic-slices on TPU (~100x slower under vmap); the selection matrix
+    # is a compile-time constant so XLA turns it into a tiny dense contract.
+    nc = len(model.contact_body)
+    sel_np = np.zeros((nc, nbody), dtype=np.float32)
+    sel_np[np.arange(nc), np.asarray(model.contact_body)] = 1.0
+    contact_sel = jnp.asarray(sel_np)
+    scat_np = np.zeros((nv, model.nu), dtype=np.float32)
+    scat_np[np.asarray(model.act_dof), np.arange(model.nu)] = 1.0
+    act_scatter = jnp.asarray(scat_np)
+
+    def kin_all(q):
+        """FK outputs every downstream consumer needs — differentiated once."""
+        R, p = fk(model, q)
+        pc = p + jnp.sum(R * coms[:, None, :], axis=-1)
+        if has_contacts:
+            p_c = jnp.sum(contact_sel[:, :, None] * p[None, :, :], axis=1)  # (nc, 3)
+            R_c = jnp.sum(contact_sel[:, :, None, None] * R[None, :, :, :], axis=1)
+            cpts = p_c + jnp.sum(R_c * contact_offs[:, None, :], axis=-1)
+        else:
+            cpts = jnp.zeros((0, 3))
+        return pc, R, cpts
+
+    def all_jacobians(q):
+        """Body Jv/Jw, world inertias, contact points + their Jacobian from
+        ONE batch of nv forward tangents through FK."""
+        (pc, R, cpts), (Jv, dR, Jc) = jax.vmap(
+            lambda t: jax.jvp(kin_all, (q,), (t,)),
+            out_axes=((None, None, None), (-1, -1, -1)),
+        )(jnp.eye(nv))
+        # omega tangents: W_k = dR_k R^T, omega = unskew(W)
+        W = jnp.sum(dR[:, :, None, :, :] * R[:, None, :, :, None], axis=3)
+        Jw = jnp.stack([W[:, 2, 1], W[:, 0, 2], W[:, 1, 0]], axis=1)  # (b,3,nv)
+        RI = jnp.sum(R[:, :, :, None] * inertias[:, None, :, :], axis=2)
+        I_world = jnp.sum(RI[:, :, None, :] * R[:, None, :, :], axis=-1)
+        return pc, R, cpts, Jv, Jw, Jc, I_world
+
+    def _assemble_mass(Jv, Jw, I_world):
+        # M = Σ_b m_b Jv_bᵀ Jv_b + Jw_bᵀ I_w Jw_b + diag(armature).
+        # Identical to ∂²T/∂q̇² (T is quadratic in q̇) but costs one jacfwd of
+        # FK instead of a hessian — ~10x fewer ops for humanoid-class trees.
+        m_lin = jnp.sum(masses[:, None, None, None] * Jv[:, :, :, None] * Jv[:, :, None, :], axis=(0, 1))
+        IJw = jnp.sum(I_world[:, :, :, None] * Jw[:, None, :, :], axis=2)
+        m_ang = jnp.sum(Jw[:, :, :, None] * IJw[:, :, None, :], axis=(0, 1))
+        return m_lin + m_ang + jnp.diag(armature)
+
     def mass_matrix(q):
-        return jax.hessian(kinetic_energy, argnums=1)(q, jnp.zeros(nv))
+        _, _, _, Jv, Jw, _, I_world = all_jacobians(q)
+        return _assemble_mass(Jv, Jw, I_world)
 
     def bias(q, qd):
-        # (∂(M q̇)/∂q) q̇ − ∂T/∂q + ∂V/∂q
-        def mom(q_):
-            return mass_matrix(q_) @ qd
+        # (∂(M q̇)/∂q) q̇ − ∂T/∂q + ∂V/∂q. The first term differentiates the
+        # MOMENTUM p(q) = ∂T/∂q̇ (forward-over-reverse: two passes) rather
+        # than the assembled mass matrix (which would redo all nv tangents).
+        def momentum(q_):
+            return jax.grad(kinetic_energy, argnums=1)(q_, qd)
 
-        _, mdot_qd = jax.jvp(mom, (q,), (qd,))
+        _, mdot_qd = jax.jvp(momentum, (q,), (qd,))
         dT_dq = jax.grad(kinetic_energy, argnums=0)(q, qd)
         dV_dq = jax.grad(potential)(q)
         return mdot_qd - dT_dq + dV_dq
 
     def contact_points(q):
-        R, p = fk(model, q)
-        body_idx = jnp.asarray(model.contact_body)
-        offs = jnp.asarray(model.contact_pos)
-        pts = p[body_idx] + jnp.einsum("cij,cj->ci", R[body_idx], offs)
-        return pts
+        _, _, cpts = kin_all(q)
+        return cpts
 
-    def contact_torques(q, qd):
-        """Ground-plane (z=0) spring-damper contact mapped to joint space."""
-        if len(model.contact_body) == 0:
-            return jnp.zeros(nv)
+    def _contact_forces(pts, Jc, qd):
+        """Ground-plane spring-damper contact mapped to joint space, given
+        precomputed contact points and their Jacobian."""
         radii = jnp.asarray(model.contact_radius)
-        pts = contact_points(q)
-        Jc = jax.jacfwd(contact_points)(q)  # (nc, 3, nv)
-        vels = jnp.einsum("civ,v->ci", Jc, qd)
+        vels = jnp.sum(Jc * qd[None, None, :], axis=-1)
 
         # Stiffness scaled to the contacting body's mass keeps the explicit
         # spring stable across robots spanning 0.9 kg (Ant) to 42 kg
         # (Humanoid): k ≤ m (α/dt)² with α ≈ 1.
-        m_eff = jnp.maximum(masses[jnp.asarray(model.contact_body)], 1e-3)
+        # static per-contact body masses (host-computed constant)
+        m_eff = jnp.asarray(
+            np.maximum(np.asarray(model.bodies.mass)[np.asarray(model.contact_body)], 1e-3)
+        )
         k_c = jnp.minimum(model.contact_stiffness, m_eff / model.timestep**2)
         c_c = 1.4 * jnp.sqrt(k_c * m_eff)
 
@@ -247,7 +302,7 @@ def make_dynamics(model: ArticulatedModel):
         scale = jnp.minimum(1.0, model.friction * fn / ft_norm)
         ft = ft_raw * scale[:, None]
         f = jnp.concatenate([ft, fn[:, None]], axis=-1)
-        return jnp.einsum("civ,ci->v", Jc, f)
+        return jnp.sum(Jc * f[:, :, None], axis=(0, 1))
 
     def limit_torques(q, qd):
         lim = jnp.asarray(model.joints.limited)
@@ -264,16 +319,26 @@ def make_dynamics(model: ArticulatedModel):
             jnp.asarray(model.act_ctrlrange[:, 0]),
             jnp.asarray(model.act_ctrlrange[:, 1]),
         )
-        tau = jnp.zeros(nv)
-        tau = tau.at[jnp.asarray(model.act_dof)].add(jnp.asarray(model.act_gear) * ctrl)
-        return tau
+        # static scatter as a dense (nv, nu) constant matmul (see contact_sel)
+        return act_scatter @ (jnp.asarray(model.act_gear) * ctrl)
 
     damping = jnp.asarray(model.joints.damping)
 
+    def contact_torques(q, qd):
+        """Standalone contact torques (diagnostics); `step` uses the fused
+        Jacobian pass instead."""
+        if not has_contacts:
+            return jnp.zeros(nv)
+        _, _, cpts, _, _, Jc, _ = all_jacobians(q)
+        return _contact_forces(cpts, Jc, qd)
+
     def step(q, qd, ctrl):
-        tau = actuation(ctrl)
-        tau = tau + contact_torques(q, qd) + limit_torques(q, qd)
-        M = mass_matrix(q)
+        # One tangent pass serves the mass matrix AND the contact solve.
+        _, _, cpts, Jv, Jw, Jc, I_world = all_jacobians(q)
+        M = _assemble_mass(Jv, Jw, I_world)
+        tau = actuation(ctrl) + limit_torques(q, qd)
+        if has_contacts:
+            tau = tau + _contact_forces(cpts, Jc, qd)
         c = bias(q, qd)
         # Implicit joint damping: solve (M + dt·D) q̈ = τ − c − D·q̇ — keeps
         # heavily-damped low-inertia joints (Pusher wrist) unconditionally
