@@ -158,6 +158,100 @@ def fk(model: ArticulatedModel, q):
     return jnp.stack(Rs), jnp.stack(ps)
 
 
+def fk_full(model: ArticulatedModel, q):
+    """FK that also records each dof's world-frame axis and (for hinges) the
+    world pivot point at the moment the dof is applied — the raw material for
+    geometric Jacobians (``∂x/∂q_k = a_k × (x − o_k)`` for hinges, ``a_k``
+    for slides).
+
+    Returns ``(R (nbody,3,3), p (nbody,3), axes_w (nv,3), pivots_w (nv,3))``.
+    """
+    import jax.numpy as jnp
+
+    nbody = len(model.bodies.parent)
+    Rs, ps = [], []
+    axes_w = [None] * model.nv
+    pivots_w = [None] * model.nv
+    for b in range(nbody):
+        parent = int(model.bodies.parent[b])
+        if parent < 0:
+            R_p = jnp.eye(3)
+            p_p = jnp.zeros(3)
+        else:
+            R_p = Rs[parent]
+            p_p = ps[parent]
+        R_fix = jnp.asarray(_quat_to_mat_np(model.bodies.quat[b]))
+        R = R_p @ R_fix
+        p = p_p + R_p @ jnp.asarray(model.bodies.pos[b])
+
+        start = int(model.bodies.dof_start[b])
+        count = int(model.bodies.dof_count[b])
+        for k in range(start, start + count):
+            axis = model.joints.axis[k]
+            anchor = jnp.asarray(model.joints.anchor[k])
+            qk = q[k] - float(model.joints.ref[k])
+            axes_w[k] = R @ jnp.asarray(axis)
+            if int(model.joints.jtype[k]) == SLIDE:
+                pivots_w[k] = jnp.zeros(3)
+                p = p + R @ (jnp.asarray(axis) * qk)
+            else:
+                pivots_w[k] = p + R @ anchor  # fixed point of the rotation
+                R_j = _axis_angle_mat(jnp, axis, qk)
+                p = p + R @ (anchor - R_j @ anchor)
+                R = R @ R_j
+        Rs.append(R)
+        ps.append(p)
+    return jnp.stack(Rs), jnp.stack(ps), jnp.stack(axes_w), jnp.stack(pivots_w)
+
+
+def ancestor_dof_mask(model: ArticulatedModel) -> np.ndarray:
+    """Static (nbody, nv) bool: dof k moves body b (k belongs to b or an
+    ancestor of b)."""
+    nbody = len(model.bodies.parent)
+    mask = np.zeros((nbody, model.nv), dtype=bool)
+    for b in range(nbody):
+        node = b
+        while node >= 0:
+            s = int(model.bodies.dof_start[node])
+            c = int(model.bodies.dof_count[node])
+            mask[b, s : s + c] = True
+            node = int(model.bodies.parent[node])
+    return mask
+
+
+def _spd_solve(jnp, A, b):
+    """Solve the SPD system ``A x = b`` with a statically-unrolled,
+    column-vectorized Cholesky. ``jnp.linalg.solve`` on batched tiny
+    matrices lowers to a serial LU on TPU (~10 ms/substep for the whole
+    batch); this runs as ~15·nv fused vector ops instead."""
+    n = A.shape[-1]
+    dtype = A.dtype
+    import numpy as _np
+
+    idx = _np.arange(n)
+    L = jnp.zeros_like(A)
+    for j in range(n):
+        c = A[:, j] - jnp.sum(L * L[j][None, :], axis=1)
+        d = jnp.sqrt(jnp.maximum(c[j], 1e-12))
+        col = jnp.where(jnp.asarray(idx >= j), c / d, jnp.zeros((), dtype))
+        L = L.at[:, j].set(col)
+    # forward: L y = b
+    y = jnp.zeros_like(b)
+    r = b
+    for j in range(n):
+        yj = r[j] / L[j, j]
+        y = y.at[j].set(yj)
+        r = r - L[:, j] * yj
+    # backward: Lᵀ x = y
+    x = jnp.zeros_like(b)
+    s = y
+    for j in reversed(range(n)):
+        xj = s[j] / L[j, j]
+        x = x.at[j].set(xj)
+        s = s - L[j, :] * xj
+    return x
+
+
 def make_dynamics(model: ArticulatedModel):
     """Build jittable ``(q, qvel, ctrl) -> (q', qvel')`` plus helpers.
 
@@ -233,44 +327,106 @@ def make_dynamics(model: ArticulatedModel):
             cpts = jnp.zeros((0, 3))
         return pc, R, cpts
 
+    # static structure tables for the geometric Jacobians
+    amask = jnp.asarray(ancestor_dof_mask(model).astype(np.float32))  # (nbody, nv)
+    cmask = (
+        jnp.asarray(
+            ancestor_dof_mask(model)[np.asarray(model.contact_body)].astype(np.float32)
+        )
+        if has_contacts
+        else jnp.zeros((0, nv))
+    )
+    slide_mask = jnp.asarray((np.asarray(model.joints.jtype) == SLIDE)[None, :, None])
+
     def all_jacobians(q):
-        """Body Jv/Jw, world inertias, contact points + their Jacobian from
-        ONE batch of nv forward tangents through FK."""
-        (pc, R, cpts), (Jv, dR, Jc) = jax.vmap(
-            lambda t: jax.jvp(kin_all, (q,), (t,)),
-            out_axes=((None, None, None), (-1, -1, -1)),
-        )(jnp.eye(nv))
-        # omega tangents: W_k = dR_k R^T, omega = unskew(W)
-        W = jnp.sum(dR[:, :, None, :, :] * R[:, None, :, :, None], axis=3)
-        Jw = jnp.stack([W[:, 2, 1], W[:, 0, 2], W[:, 1, 0]], axis=1)  # (b,3,nv)
+        """Geometric Jacobians in closed form: for a hinge dof k with world
+        axis a_k and pivot o_k, ``∂x/∂q_k = a_k × (x − o_k)`` for any
+        downstream point x and ``∂ω/∂q̇_k = a_k``; for a slide,
+        ``∂x/∂q_k = a_k``, no rotation. Shallow algebra over ONE plain FK
+        traversal — no autodiff pass through the kinematic chain at all.
+
+        Layout: Jv/Jw are (nbody, nv, 3); Jc is (nc, nv, 3).
+        """
+        R, p, aw, ow = fk_full(model, q)
+        pc = p + jnp.sum(R * coms[:, None, :], axis=-1)
+        if has_contacts:
+            p_c = jnp.sum(contact_sel[:, :, None] * p[None, :, :], axis=1)
+            R_c = jnp.sum(contact_sel[:, :, None, None] * R[None, :, :, :], axis=1)
+            cpts = p_c + jnp.sum(R_c * contact_offs[:, None, :], axis=-1)
+        else:
+            cpts = jnp.zeros((0, 3))
+
+        aw_b = aw[None, :, :]  # (1, nv, 3)
+        Jv = (
+            jnp.where(slide_mask, aw_b, jnp.cross(aw_b, pc[:, None, :] - ow[None, :, :]))
+            * amask[:, :, None]
+        )
+        Jw = jnp.where(slide_mask, 0.0, aw_b) * amask[:, :, None]
+        if has_contacts:
+            Jc = (
+                jnp.where(
+                    slide_mask, aw_b, jnp.cross(aw_b, cpts[:, None, :] - ow[None, :, :])
+                )
+                * cmask[:, :, None]
+            )
+        else:
+            Jc = jnp.zeros((0, nv, 3))
+
         RI = jnp.sum(R[:, :, :, None] * inertias[:, None, :, :], axis=2)
         I_world = jnp.sum(RI[:, :, None, :] * R[:, None, :, :], axis=-1)
         return pc, R, cpts, Jv, Jw, Jc, I_world
 
     def _assemble_mass(Jv, Jw, I_world):
-        # M = Σ_b m_b Jv_bᵀ Jv_b + Jw_bᵀ I_w Jw_b + diag(armature).
-        # Identical to ∂²T/∂q̇² (T is quadratic in q̇) but costs one jacfwd of
-        # FK instead of a hessian — ~10x fewer ops for humanoid-class trees.
-        m_lin = jnp.sum(masses[:, None, None, None] * Jv[:, :, :, None] * Jv[:, :, None, :], axis=(0, 1))
-        IJw = jnp.sum(I_world[:, :, :, None] * Jw[:, None, :, :], axis=2)
-        m_ang = jnp.sum(Jw[:, :, :, None] * IJw[:, :, None, :], axis=(0, 1))
+        # M = Σ_b m_b Jv_bᵀ Jv_b + Jw_bᵀ I_w Jw_b + diag(armature)
+        # with Jv/Jw laid out (nbody, nv, 3).
+        m_lin = jnp.sum(
+            masses[:, None, None, None] * Jv[:, :, None, :] * Jv[:, None, :, :],
+            axis=(0, 3),
+        )
+        IJw = jnp.sum(I_world[:, None, :, :] * Jw[:, :, None, :], axis=-1)  # (b,nv,3)
+        m_ang = jnp.sum(Jw[:, :, None, :] * IJw[:, None, :, :], axis=(0, 3))
         return m_lin + m_ang + jnp.diag(armature)
 
     def mass_matrix(q):
         _, _, _, Jv, Jw, _, I_world = all_jacobians(q)
         return _assemble_mass(Jv, Jw, I_world)
 
-    def bias(q, qd):
-        # (∂(M q̇)/∂q) q̇ − ∂T/∂q + ∂V/∂q. The first term differentiates the
-        # MOMENTUM p(q) = ∂T/∂q̇ (forward-over-reverse: two passes) rather
-        # than the assembled mass matrix (which would redo all nv tangents).
-        def momentum(q_):
-            return jax.grad(kinetic_energy, argnums=1)(q_, qd)
+    stiffness = jnp.asarray(model.joints.stiffness)
+    joint_ref = jnp.asarray(model.joints.ref)
 
-        _, mdot_qd = jax.jvp(momentum, (q,), (qd,))
-        dT_dq = jax.grad(kinetic_energy, argnums=0)(q, qd)
-        dV_dq = jax.grad(potential)(q)
-        return mdot_qd - dT_dq + dV_dq
+    def _bias_terms(q, qd, Jv, Jw, I_world):
+        """Newton–Euler velocity bias + conservative forces.
+
+        With q̈ = 0, body accelerations are a⁰ = (dJᵥ/dt)q̇, α⁰ = (dJ_ω/dt)q̇
+        (one forward tangent through the shallow geometric-Jacobian code).
+        Virtual work maps the body wrenches back through Jᵀ:
+        c = Σ_b Jᵥᵀ m a⁰ + J_ωᵀ (I_w α⁰ + ω×I_w ω) + ∂V/∂q.
+        Equal to the Lagrangian form (∂(Mq̇)/∂q)q̇ − ∂T/∂q + ∂V/∂q but ~5x
+        fewer ops than forward-over-reverse through the kinetic energy.
+        """
+
+        def vels(q_):
+            _, _, _, Jv_, Jw_, _, _ = all_jacobians(q_)
+            return (
+                jnp.sum(Jv_ * qd[None, :, None], axis=1),
+                jnp.sum(Jw_ * qd[None, :, None], axis=1),
+            )
+
+        (_, w), (a0, al0) = jax.jvp(vels, (q,), (qd,))
+        Iw_w = jnp.sum(I_world * w[:, None, :], axis=-1)
+        t_ang = jnp.sum(I_world * al0[:, None, :], axis=-1) + jnp.cross(w, Iw_w)
+        f_lin = masses[:, None] * a0
+        c_kin = jnp.sum(Jv * f_lin[:, None, :], axis=(0, 2)) + jnp.sum(
+            Jw * t_ang[:, None, :], axis=(0, 2)
+        )
+        # ∂V/∂q: gravity (V = −Σ m g pc_z) through Jv_z, plus joint springs
+        dV = -g * jnp.sum(masses[:, None] * Jv[..., 2], axis=0)
+        dV = dV + stiffness * (q - joint_ref)
+        return c_kin + dV
+
+    def bias(q, qd):
+        _, _, _, Jv, Jw, _, I_world = all_jacobians(q)
+        return _bias_terms(q, qd, Jv, Jw, I_world)
 
     def contact_points(q):
         _, _, cpts = kin_all(q)
@@ -278,9 +434,9 @@ def make_dynamics(model: ArticulatedModel):
 
     def _contact_forces(pts, Jc, qd):
         """Ground-plane spring-damper contact mapped to joint space, given
-        precomputed contact points and their Jacobian."""
+        precomputed contact points and their (nc, nv, 3) Jacobian."""
         radii = jnp.asarray(model.contact_radius)
-        vels = jnp.sum(Jc * qd[None, None, :], axis=-1)
+        vels = jnp.sum(Jc * qd[None, :, None], axis=1)  # (nc, 3)
 
         # Stiffness scaled to the contacting body's mass keeps the explicit
         # spring stable across robots spanning 0.9 kg (Ant) to 42 kg
@@ -302,7 +458,7 @@ def make_dynamics(model: ArticulatedModel):
         scale = jnp.minimum(1.0, model.friction * fn / ft_norm)
         ft = ft_raw * scale[:, None]
         f = jnp.concatenate([ft, fn[:, None]], axis=-1)
-        return jnp.sum(Jc * f[:, :, None], axis=(0, 1))
+        return jnp.sum(Jc * f[:, None, :], axis=(0, 2))
 
     def limit_torques(q, qd):
         lim = jnp.asarray(model.joints.limited)
@@ -333,19 +489,20 @@ def make_dynamics(model: ArticulatedModel):
         return _contact_forces(cpts, Jc, qd)
 
     def step(q, qd, ctrl):
-        # One tangent pass serves the mass matrix AND the contact solve.
+        # One geometric-Jacobian pass serves M, the contact solve, AND the
+        # Newton-Euler bias (which re-derives only the contracted velocities).
         _, _, cpts, Jv, Jw, Jc, I_world = all_jacobians(q)
         M = _assemble_mass(Jv, Jw, I_world)
         tau = actuation(ctrl) + limit_torques(q, qd)
         if has_contacts:
             tau = tau + _contact_forces(cpts, Jc, qd)
-        c = bias(q, qd)
+        c = _bias_terms(q, qd, Jv, Jw, I_world)
         # Implicit joint damping: solve (M + dt·D) q̈ = τ − c − D·q̇ — keeps
         # heavily-damped low-inertia joints (Pusher wrist) unconditionally
         # stable where the explicit form explodes.
         D = jnp.diag(damping)
         rhs = tau - c - damping * qd
-        qacc = jnp.linalg.solve(M + model.timestep * D + 1e-9 * jnp.eye(nv), rhs)
+        qacc = _spd_solve(jnp, M + model.timestep * D + 1e-9 * jnp.eye(nv), rhs)
         qd_new = qd + model.timestep * qacc
         q_new = q + model.timestep * qd_new
         return q_new, qd_new
@@ -355,6 +512,7 @@ def make_dynamics(model: ArticulatedModel):
         "fk": lambda q: fk(model, q),
         "contact_points": contact_points,
         "mass_matrix": mass_matrix,
+        "bias": bias,
         "kinetic_energy": kinetic_energy,
         "potential": potential,
         "com_world": com_world,
