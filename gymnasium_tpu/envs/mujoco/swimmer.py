@@ -60,9 +60,12 @@ def _swimmer_step(frame_skip: int):
             q, qd = carry
             tau_drag = drag_torques(q, qd)
             # inject drag as extra velocity change before the engine step
+            from gymnasium_tpu.physics.articulated import _spd_solve
+
             M = dyn["mass_matrix"](q)
-            qd = qd + model.timestep * jnp.linalg.solve(
-                M + 1e-9 * jnp.eye(model.nv), tau_drag
+            # unrolled Cholesky: batched jnp.linalg.solve serializes on TPU
+            qd = qd + model.timestep * _spd_solve(
+                jnp, M + 1e-9 * jnp.eye(model.nv), tau_drag
             )
             q, qd = dyn["step"](q, qd, ctrl)
             return (q, qd), None
