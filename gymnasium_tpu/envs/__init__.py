@@ -184,6 +184,7 @@ register(
 register(
     id="BipedalWalker-v3",
     entry_point="gymnasium_tpu.envs.box2d.bipedal_walker:BipedalWalker",
+    jax_entry_point="gymnasium_tpu.envs.box2d.bipedal_walker:BipedalWalkerFunctional",
     max_episode_steps=1600,
     reward_threshold=300,
 )
@@ -191,6 +192,7 @@ register(
 register(
     id="BipedalWalkerHardcore-v3",
     entry_point="gymnasium_tpu.envs.box2d.bipedal_walker:BipedalWalker",
+    jax_entry_point="gymnasium_tpu.envs.box2d.bipedal_walker:BipedalWalkerFunctional",
     kwargs={"hardcore": True},
     max_episode_steps=2000,
     reward_threshold=300,
