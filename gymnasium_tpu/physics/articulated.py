@@ -1,15 +1,21 @@
-"""Articulated 3D rigid-body dynamics via autodiff Lagrangian mechanics.
+"""Articulated 3D rigid-body dynamics in closed geometric form.
 
 The TPU-native replacement for the MuJoCo C engine (SURVEY.md §2.10): instead
-of translating Featherstone's recursive algorithms, the only hand-written
-physics here is forward kinematics over a chain of 1-DoF coordinate joints.
-Everything else falls out of JAX autodiff:
+of translating Featherstone's recursive algorithms, forward kinematics over a
+chain of 1-DoF coordinate joints also records each dof's world axis a_k and
+pivot o_k (``fk_full``), from which everything assembles with shallow algebra:
 
-- mass matrix     M(q)      = ∂²T/∂q̇²          (one ``jax.hessian``)
-- bias forces     c(q, q̇)   = (∂(Mq̇)/∂q)q̇ − ∂T/∂q + ∂V/∂q   (jvp + grad)
-- contact Jacobian J_c       = ∂p_contact/∂q    (``jax.jacfwd``)
+- geometric Jacobians  ∂x/∂q_k = a_k × (x − o_k)  (hinge) / a_k (slide)
+- mass matrix          M = Σ_b m JᵥᵀJᵥ + JωᵀI_wJω + diag(armature)
+- bias forces          Newton–Euler with q̈=0 accelerations from ONE forward
+                       tangent through the Jacobian code, mapped back via Jᵀ
+- linear solve         statically-unrolled column-vectorized Cholesky
+                       (batched ``jnp.linalg.solve`` serializes on TPU)
 
-and the step solves ``M q̈ = τ_actuation + J_cᵀ f_contact − c − damping·q̇``.
+and the step solves ``(M + dt·D) q̈ = τ_actuation + J_cᵀ f_contact − c − D q̇``.
+The Lagrangian-autodiff formulation (``kinetic_energy``/``potential``) is kept
+as the test oracle; the geometric path is verified bit-equivalent against it
+(tests/physics/). TPU lowering rules that shaped this code: docs/BENCHMARKS.md.
 
 Joints are slide/hinge about arbitrary axes; a floating base is three slides
 plus three hinges (Euler parametrization — adequate for the mostly-upright
@@ -276,10 +282,6 @@ def make_dynamics(model: ArticulatedModel):
         R, p = fk(model, q)
         return p + jnp.sum(R * coms[:, None, :], axis=-1), R
 
-    def body_rotations_flat(q):
-        R, p = fk(model, q)
-        return R.reshape(-1)
-
     def kinetic_energy(q, qd):
         # linear com velocities and angular velocities via one jvp each
         (pc, R), (pc_dot, R_dot) = jax.jvp(com_world, (q,), (qd,))
@@ -479,14 +481,6 @@ def make_dynamics(model: ArticulatedModel):
         return act_scatter @ (jnp.asarray(model.act_gear) * ctrl)
 
     damping = jnp.asarray(model.joints.damping)
-
-    def contact_torques(q, qd):
-        """Standalone contact torques (diagnostics); `step` uses the fused
-        Jacobian pass instead."""
-        if not has_contacts:
-            return jnp.zeros(nv)
-        _, _, cpts, _, _, Jc, _ = all_jacobians(q)
-        return _contact_forces(cpts, Jc, qd)
 
     def step(q, qd, ctrl):
         # One geometric-Jacobian pass serves M, the contact solve, AND the
