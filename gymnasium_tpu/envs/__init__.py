@@ -134,6 +134,7 @@ register(
 register(
     id="CliffWalkingSlippery-v1",
     entry_point="gymnasium_tpu.envs.toy_text.cliffwalking:CliffWalkingEnv",
+    jax_entry_point="gymnasium_tpu.envs.tabular.cliffwalking:CliffWalkingFunctional",
     kwargs={"is_slippery": True},
 )
 
@@ -217,6 +218,7 @@ register(
 register(
     id="BlockchainCPD-v0-TFT",
     entry_point="gymnasium_tpu.envs.blockchain.cpd_env:BlockchainCPDEnv",
+    jax_entry_point="gymnasium_tpu.envs.blockchain.cpd_functional:BlockchainCPDFunctional",
     kwargs={"opponent_policy": "tit_for_tat"},
     max_episode_steps=200,
 )
@@ -224,6 +226,7 @@ register(
 register(
     id="BlockchainCPD-v0-Random",
     entry_point="gymnasium_tpu.envs.blockchain.cpd_env:BlockchainCPDEnv",
+    jax_entry_point="gymnasium_tpu.envs.blockchain.cpd_functional:BlockchainCPDFunctional",
     kwargs={"opponent_policy": "random"},
     max_episode_steps=200,
 )
