@@ -378,20 +378,32 @@ def make_dynamics(model: ArticulatedModel):
         I_world = jnp.sum(RI[:, :, None, :] * R[:, None, :, :], axis=-1)
         return pc, R, cpts, Jv, Jw, Jc, I_world
 
-    def _assemble_mass(Jv, Jw, I_world):
-        # M = Σ_b m_b Jv_bᵀ Jv_b + Jw_bᵀ I_w Jw_b + diag(armature)
-        # with Jv/Jw laid out (nbody, nv, 3).
-        m_lin = jnp.sum(
-            masses[:, None, None, None] * Jv[:, :, None, :] * Jv[:, None, :, :],
-            axis=(0, 3),
+    # Static Cholesky factors of the body inertias: I_w = R I Rᵀ = (RL)(RL)ᵀ,
+    # so the angular Gram term factors like the linear one and the whole mass
+    # matrix becomes ONE MXU matmul M = XᵀX with X (6·nbody, nv). The naive
+    # broadcast-sum form materializes an (nbody, nv, nv, 3) product —
+    # ~2 GB/batch for humanoid — while the Gram form never leaves (6b, nv).
+    _inertia_chol = np.linalg.cholesky(
+        np.asarray(model.bodies.inertia) + 1e-12 * np.eye(3)
+    )
+    inertia_chol = jnp.asarray(_inertia_chol)
+    sqrt_masses = jnp.asarray(np.sqrt(np.asarray(model.bodies.mass)))
+
+    def _assemble_mass(Jv, Jw, R):
+        # rows of X: per body, √m·Jvᵀ (3 rows) and (RL)ᵀJwᵀ (3 rows)
+        A_lin = sqrt_masses[:, None, None] * jnp.swapaxes(Jv, -1, -2)  # (b,3,nv)
+        RL = jnp.sum(R[:, :, :, None] * inertia_chol[:, None, :, :], axis=2)
+        # G[b,i,k] = Σ_j RL[b,j,i] Jw[b,k,j]
+        G = jnp.sum(RL[:, :, :, None] * jnp.swapaxes(Jw, -1, -2)[:, :, None, :], axis=1)
+        X = jnp.concatenate((A_lin, G), axis=1).reshape(6 * nbody, nv)
+        M = jax.lax.dot_general(
+            X, X, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        IJw = jnp.sum(I_world[:, None, :, :] * Jw[:, :, None, :], axis=-1)  # (b,nv,3)
-        m_ang = jnp.sum(Jw[:, :, None, :] * IJw[:, None, :, :], axis=(0, 3))
-        return m_lin + m_ang + jnp.diag(armature)
+        return M + jnp.diag(armature)
 
     def mass_matrix(q):
-        _, _, _, Jv, Jw, _, I_world = all_jacobians(q)
-        return _assemble_mass(Jv, Jw, I_world)
+        _, R, _, Jv, Jw, _, _ = all_jacobians(q)
+        return _assemble_mass(Jv, Jw, R)
 
     stiffness = jnp.asarray(model.joints.stiffness)
     joint_ref = jnp.asarray(model.joints.ref)
@@ -485,8 +497,8 @@ def make_dynamics(model: ArticulatedModel):
     def step(q, qd, ctrl):
         # One geometric-Jacobian pass serves M, the contact solve, AND the
         # Newton-Euler bias (which re-derives only the contracted velocities).
-        _, _, cpts, Jv, Jw, Jc, I_world = all_jacobians(q)
-        M = _assemble_mass(Jv, Jw, I_world)
+        _, R, cpts, Jv, Jw, Jc, I_world = all_jacobians(q)
+        M = _assemble_mass(Jv, Jw, R)
         tau = actuation(ctrl) + limit_torques(q, qd)
         if has_contacts:
             tau = tau + _contact_forces(cpts, Jc, qd)
