@@ -179,7 +179,10 @@ class HumanoidEnv(MujocoEnv, EzPickle):
 
 
 class HumanoidFunctional(MujocoFuncEnv):
-    """Device-resident Humanoid (compact qpos/qvel observation)."""
+    """Device-resident Humanoid with the host env's full 348-dim observation
+    (reference humanoid_v5.py:436-470): position, velocity, static cinert,
+    jvp-derived com velocities, and zero-filled qfrc_actuator/cfrc_ext blocks
+    (the host env approximates those the same way)."""
 
     model_name = "humanoid"
     frame_skip = 5
@@ -187,18 +190,35 @@ class HumanoidFunctional(MujocoFuncEnv):
 
     def __init__(self, options: dict[str, Any] | None = None):
         super().__init__(options)
-        # device obs: position + velocity blocks (45-dim)
-        self.observation_space = spaces.Box(-np.inf, np.inf, (45,), np.float64)
+        self.observation_space = spaces.Box(-np.inf, np.inf, (348,), np.float64)
         self._z0 = float(self.model.bodies.pos[0][2])
+        self._cinert = _com_inertia_block(self.model)
+        self._nv = self.model.nv
 
     def observation(self, state, rng, params: Any = None):
+        import jax
         import jax.numpy as jnp
 
         q, qd = state["qpos"], state["qvel"]
         quat = euler_to_quat(jnp, q[3:6])
         omega = euler_rates_to_omega(jnp, q[3:6], qd[3:6])
         z = jnp.asarray([self._z0 + q[2]])
-        return jnp.concatenate([z, quat, q[6:], qd[:3], omega, qd[6:]])
+        position = jnp.concatenate([z, quat, q[6:]])
+        velocity = jnp.concatenate([qd[:3], omega, qd[6:]])
+
+        def com(q_):
+            pc, _ = self._dyn["com_world"](q_)
+            return pc
+
+        _, vel = jax.jvp(com, (q,), (qd,))
+        rows = jnp.concatenate(
+            [vel[:_NBODY_OBS], jnp.zeros((_NBODY_OBS, 3))], axis=1
+        ).reshape(-1)
+        qfrc = jnp.zeros(self._nv - 6)
+        cfrc_ext = jnp.zeros(_NBODY_OBS * 6)
+        return jnp.concatenate(
+            [position, velocity, jnp.asarray(self._cinert), rows, qfrc, cfrc_ext]
+        )
 
     def reward(self, state, action, next_state, rng, params: Any = None):
         import jax.numpy as jnp
