@@ -202,6 +202,7 @@ register(
 register(
     id="CarRacing-v3",
     entry_point="gymnasium_tpu.envs.box2d.car_racing:CarRacing",
+    jax_entry_point="gymnasium_tpu.envs.box2d.car_racing_functional:CarRacingFunctional",
     max_episode_steps=1000,
     reward_threshold=900,
 )

@@ -1,0 +1,313 @@
+"""Device-resident CarRacing: track, car physics, and the 96x96x3 pixel
+observation all computed on the accelerator.
+
+Capability twin of the host env (reference box2d/car_racing.py): same car
+model constants (car_dynamics.py), same view geometry, tile-visit reward,
+off-playfield termination. Two documented divergences from the host/reference:
+
+- track generation is a Catmull-Rom spline through the reference's 12 random
+  checkpoints, resampled to a FIXED ``NUM_TILES`` points (the reference's
+  retrying walker is host-control-flow; a fixed-size spline keeps the episode
+  state a static-shape pytree). Track distributions are similar, not equal.
+- the rendered frame approximates the reference's visuals (flat road color,
+  checkered grass, car rectangle, speed bar; no curbs/particles).
+
+Rasterization is MXU-shaped: per-pixel squared distances to all tile centers
+expand ``|p|^2 + |c|^2 - 2 p.c`` so the cross term is one (pixels x 2) @
+(2 x tiles) matmul, min-reduced in chunks to bound memory.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import numpy as np
+
+from gymnasium_tpu import spaces
+from gymnasium_tpu.envs.box2d.car_dynamics import (
+    CAR_INERTIA,
+    CAR_MASS,
+    ENGINE_POWER,
+    FRICTION_LIMIT,
+    SIZE,
+    WHEEL_MOMENT_OF_INERTIA,
+    WHEELPOS,
+)
+from gymnasium_tpu.envs.box2d.car_racing import (
+    FPS,
+    GRASS_DIM,
+    PLAYFIELD,
+    ROAD_COLOR,
+    STATE_H,
+    STATE_W,
+    TRACK_RAD,
+    TRACK_WIDTH,
+)
+from gymnasium_tpu.functional import FuncEnv
+
+__all__ = ["CarRacingFunctional"]
+
+NUM_TILES = 384  # fixed track length (reference tracks: ~250-320 variable)
+CHECKPOINTS = 12
+TILE_CHUNK = 96  # rasterizer min-reduction chunk
+WHEEL_RAD = 27 * SIZE  # front/rear wheel radius (car_dynamics.py)
+
+
+def _catmull_rom(jnp, pts, t):
+    """Closed Catmull-Rom spline through ``pts`` ((C, 2)) at params ``t``
+    ((N,) in [0, C))."""
+    c = pts.shape[0]
+    i1 = jnp.floor(t).astype(jnp.int32) % c
+    u = (t - jnp.floor(t))[:, None]
+    i0, i2, i3 = (i1 - 1) % c, (i1 + 1) % c, (i1 + 2) % c
+    # one-hot gathers: tiny table, avoids TPU dynamic-slice lowering
+    eye = jnp.eye(c, dtype=pts.dtype)
+    p0, p1, p2, p3 = (eye[i] @ pts for i in (i0, i1, i2, i3))
+    return 0.5 * (
+        2 * p1
+        + (-p0 + p2) * u
+        + (2 * p0 - 5 * p1 + 4 * p2 - p3) * u**2
+        + (-p0 + 3 * p1 - 3 * p2 + p3) * u**3
+    )
+
+
+class CarRacingFunctional(FuncEnv):
+    """Stateless CarRacing with on-device pixel rendering."""
+
+    rng_hooks = frozenset({"initial"})
+    continuous = True
+
+    def __init__(self, options: dict[str, Any] | None = None):
+        options = dict(options or {})
+        if "continuous" in options:
+            self.continuous = bool(options.pop("continuous"))
+        self.lap_complete_percent = float(options.pop("lap_complete_percent", 0.95))
+        super().__init__(options)
+        self.observation_space = spaces.Box(0, 255, (STATE_H, STATE_W, 3), np.uint8)
+        if self.continuous:
+            self.action_space = spaces.Box(
+                np.array([-1.0, 0.0, 0.0], np.float32),
+                np.array([1.0, 1.0, 1.0], np.float32),
+                dtype=np.float32,
+            )
+        else:
+            self.action_space = spaces.Discrete(5)
+
+    # -- hooks -------------------------------------------------------------
+
+    def initial(self, rng, params: Any = None):
+        import jax
+        import jax.numpy as jnp
+
+        k_alpha, k_rad = jax.random.split(rng)
+        cs = jnp.arange(CHECKPOINTS, dtype=jnp.float32)
+        noise = jax.random.uniform(
+            k_alpha, (CHECKPOINTS,), maxval=2 * math.pi / CHECKPOINTS
+        )
+        alpha = 2 * math.pi * cs / CHECKPOINTS + noise
+        rad = jax.random.uniform(
+            k_rad, (CHECKPOINTS,), minval=TRACK_RAD / 3, maxval=TRACK_RAD
+        )
+        # pin first/last like the reference (car_racing.py:111-117)
+        alpha = alpha.at[0].set(0.0).at[-1].set(2 * math.pi * (CHECKPOINTS - 1) / CHECKPOINTS)
+        rad = rad.at[0].set(1.5 * TRACK_RAD).at[-1].set(1.5 * TRACK_RAD)
+        pts = jnp.stack([rad * jnp.cos(alpha), rad * jnp.sin(alpha)], axis=-1)
+
+        t = jnp.arange(NUM_TILES, dtype=jnp.float32) * (CHECKPOINTS / NUM_TILES)
+        centers = _catmull_rom(jnp, pts, t)
+        nxt = jnp.roll(centers, -1, axis=0)
+        tangent = nxt - centers
+        # heading beta with travel dir (-sin b, cos b) = tangent direction
+        betas = jnp.arctan2(-tangent[:, 0], tangent[:, 1])
+
+        hull = jnp.concatenate(
+            [centers[0], betas[0:1], jnp.zeros(3, centers.dtype)]
+        )  # x, y, angle, vx, vy, omega
+        return {
+            "centers": centers,
+            "betas": betas,
+            "visited": jnp.zeros((NUM_TILES,), bool),
+            "hull": hull,
+            "steer_angle": jnp.zeros(2),
+            "wheel_omega": jnp.zeros(4),
+            "r": jnp.zeros(()),
+            "done": jnp.zeros((), bool),
+        }
+
+    def _controls(self, jnp, action):
+        if self.continuous:
+            a = jnp.asarray(action)
+            return -a[0], jnp.clip(a[1], 0.0, 1.0), jnp.clip(a[2], 0.0, 1.0)
+        a = jnp.asarray(action)
+        steer = -0.6 * (a == 1) + 0.6 * (a == 2)
+        return steer, 0.2 * (a == 3), 0.8 * (a == 4)
+
+    def transition(self, state, action, rng, params: Any = None):
+        import jax.numpy as jnp
+
+        steer_t, gas, brake = self._controls(jnp, action)
+        dt = 1.0 / FPS
+        hull = state["hull"]
+        x, y, angle, vx, vy, omega_b = (hull[i] for i in range(6))
+        c, s = jnp.cos(angle), jnp.sin(angle)
+
+        wheel_local = jnp.asarray(WHEELPOS, jnp.float32) * SIZE  # (4, 2)
+        rx = wheel_local[:, 0] * c - wheel_local[:, 1] * s
+        ry = wheel_local[:, 0] * s + wheel_local[:, 1] * c
+
+        # steering servo (front wheels only)
+        diff = steer_t - state["steer_angle"]
+        speed = jnp.sign(diff) * jnp.minimum(50.0 * jnp.abs(diff), 3.0)
+        steer_angle = jnp.clip(state["steer_angle"] + speed * dt, -0.4, 0.4)
+        wheel_angle = angle + jnp.concatenate([steer_angle, jnp.zeros(2)])
+
+        wvx = vx - omega_b * ry
+        wvy = vy + omega_b * rx
+        wc, ws = jnp.cos(wheel_angle), jnp.sin(wheel_angle)
+        vf = -ws * wvx + wc * wvy  # forward speed per wheel
+        vs = wc * wvx + ws * wvy  # side speed per wheel
+
+        # per-wheel grip from track proximity (host _on_road uses the same
+        # nearest-center test, car_racing.py:216)
+        wpx = x + rx
+        wpy = y + ry
+        centers = state["centers"]
+        d2 = (
+            (wpx[:, None] - centers[None, :, 0]) ** 2
+            + (wpy[:, None] - centers[None, :, 1]) ** 2
+        )
+        on_road = jnp.min(d2, axis=1) <= (TRACK_WIDTH * 1.2) ** 2
+        friction_limit = FRICTION_LIMIT * jnp.where(on_road, 1.0, 0.6)
+
+        wheel_omega = state["wheel_omega"]
+        gas_w = jnp.concatenate([jnp.zeros(2), jnp.full((2,), gas)])
+        wheel_omega = wheel_omega + dt * ENGINE_POWER * gas_w / (
+            WHEEL_MOMENT_OF_INERTIA * (jnp.abs(wheel_omega) + 5.0)
+        )
+        # brakes: hard lock at >=0.9 else decay (car_dynamics.py:139-145)
+        val = jnp.minimum(15.0 * brake, jnp.abs(wheel_omega))
+        wheel_omega = jnp.where(
+            brake >= 0.9,
+            jnp.zeros_like(wheel_omega),
+            wheel_omega - jnp.sign(wheel_omega) * val * (brake > 0),
+        )
+
+        vr = wheel_omega * WHEEL_RAD
+        f_force = (-vf + vr) * 205000 * SIZE * SIZE
+        p_force = -vs * 205000 * SIZE * SIZE
+        force = jnp.sqrt(f_force**2 + p_force**2) + 1e-12
+        scale = jnp.minimum(1.0, friction_limit / force)
+        f_force = f_force * scale
+        p_force = p_force * scale
+        wheel_omega = wheel_omega - dt * f_force * WHEEL_RAD / WHEEL_MOMENT_OF_INERTIA
+
+        fx = p_force * wc + f_force * (-ws)
+        fy = p_force * ws + f_force * wc
+        fx_t, fy_t = jnp.sum(fx), jnp.sum(fy)
+        torque = jnp.sum(rx * fy - ry * fx)
+
+        vx = vx + fx_t / CAR_MASS * dt
+        vy = vy + fy_t / CAR_MASS * dt
+        omega_b = omega_b + torque / CAR_INERTIA * dt
+        x = x + vx * dt
+        y = y + vy * dt
+        angle = angle + omega_b * dt
+
+        # tile visiting + reward (car_racing.py:278-297)
+        d2c = jnp.sum((centers - jnp.stack([x, y])) ** 2, axis=-1)
+        idx = jnp.argmin(d2c)
+        near = d2c[idx] <= TRACK_WIDTH**2
+        newly = near & ~state["visited"][idx]
+        visited = state["visited"] | (jnp.arange(NUM_TILES) == idx) & near
+        count = jnp.sum(visited)
+        step_reward = -0.1 + jnp.where(newly, 1000.0 / NUM_TILES, 0.0)
+
+        off_field = (jnp.abs(x) > PLAYFIELD) | (jnp.abs(y) > PLAYFIELD)
+        lap_done = count >= self.lap_complete_percent * NUM_TILES
+        step_reward = jnp.where(off_field, -100.0, step_reward)
+        done = off_field | lap_done
+
+        return {
+            "centers": centers,
+            "betas": state["betas"],
+            "visited": visited,
+            "hull": jnp.stack([x, y, angle, vx, vy, omega_b]),
+            "steer_angle": steer_angle,
+            "wheel_omega": wheel_omega,
+            "r": step_reward,
+            "done": done,
+        }
+
+    def reward(self, state, action, next_state, rng, params: Any = None):
+        return next_state["r"]
+
+    def terminal(self, state, rng, params: Any = None):
+        return state["done"]
+
+    # -- on-device rasterizer ---------------------------------------------
+
+    def observation(self, state, rng, params: Any = None):
+        import jax
+        import jax.numpy as jnp
+
+        hull = state["hull"]
+        cx, cy, angle = hull[0], hull[1], hull[2]
+        ppm = STATE_W / 30.0
+
+        px = jnp.arange(STATE_W, dtype=jnp.float32)
+        py = jnp.arange(STATE_H, dtype=jnp.float32)
+        vx = (px[None, :] - STATE_W / 2) / ppm  # (1, W)
+        vy = (STATE_H * 0.75 - py[:, None]) / ppm  # (H, 1)
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        wx = cx + vx * ca - vy * sa  # (H, W) world coords per pixel
+        wy = cy + vx * sa + vy * ca
+
+        # road mask: min distance to tile centers, chunked MXU contraction
+        pts = jnp.stack([wx.ravel(), wy.ravel()], axis=-1)  # (P, 2)
+        p2 = jnp.sum(pts**2, axis=-1)
+        centers = state["centers"]
+
+        def chunk_min(carry, cstart_chunk):
+            chunk = cstart_chunk  # (TILE_CHUNK, 2)
+            # HIGHEST precision: the default bf16 MXU passes err ~0.4% of
+            # |p||c| ≈ 200 — far larger than TRACK_WIDTH² = 44
+            cross = jax.lax.dot_general(
+                pts, chunk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (P, TILE_CHUNK)
+            d2 = p2[:, None] + jnp.sum(chunk**2, axis=-1)[None, :] - 2 * cross
+            return jnp.minimum(carry, jnp.min(d2, axis=-1)), None
+
+        chunks = centers.reshape(NUM_TILES // TILE_CHUNK, TILE_CHUNK, 2)
+        mind2, _ = jax.lax.scan(chunk_min, jnp.full(pts.shape[:1], 1e12), chunks)
+        road = (mind2 <= TRACK_WIDTH**2).reshape(STATE_H, STATE_W)
+
+        # grass checker in world space
+        checker = (
+            (jnp.floor(wx / GRASS_DIM) + jnp.floor(wy / GRASS_DIM)) % 2 == 0
+        )
+        grass_a = jnp.asarray([102, 230, 102], jnp.float32)
+        grass_b = jnp.asarray([102, 204, 102], jnp.float32)
+        road_c = jnp.asarray(ROAD_COLOR, jnp.float32)
+
+        img = jnp.where(checker[..., None], grass_a, grass_b)
+        img = jnp.where(road[..., None], road_c, img)
+
+        # car: fixed rectangle in the view frame (the view is car-centered)
+        car_mask = (jnp.abs(vx) <= 1.5) & (jnp.abs(vy) <= 2.5)
+        img = jnp.where(car_mask[..., None], jnp.asarray([204.0, 0.0, 0.0]), img)
+
+        # status bar: bottom rows black with white speed bar
+        speed = jnp.sqrt(hull[3] ** 2 + hull[4] ** 2)
+        bar_rows = py[:, None] >= STATE_H - 4
+        img = jnp.where(bar_rows[..., None], jnp.zeros(3), img)
+        bar_len = jnp.minimum(jnp.abs(speed) * 2.0, STATE_W / 3.0)
+        in_bar = (
+            bar_rows
+            & (px[None, :] >= STATE_W / 10)
+            & (px[None, :] <= STATE_W / 10 + bar_len)
+        )
+        img = jnp.where(in_bar[..., None], jnp.full(3, 255.0), img)
+        return jnp.clip(img, 0, 255).astype(jnp.uint8)
