@@ -15,7 +15,14 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_env_batch", "replicated", "shard_ppo_state"]
+__all__ = [
+    "make_mesh",
+    "shard_env_batch",
+    "replicated",
+    "shard_ppo_state",
+    "gather_trajectory",
+    "scaling_report",
+]
 
 
 def make_mesh(
@@ -61,6 +68,53 @@ def shard_env_batch(tree: Any, mesh: Mesh, batch_size: int | None = None, axis: 
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(put, tree)
+
+
+def gather_trajectory(traj: Any, mesh: Mesh) -> Any:
+    """All-gather a dp-sharded trajectory pytree onto every device
+    (SURVEY.md §5.8: "all-gather of trajectory slices to the learner").
+
+    The gather is expressed as a resharding to the replicated layout — XLA
+    emits an ``all-gather`` over the ``dp`` axis riding ICI. Use only at
+    learner boundaries; the rollout itself should stay sharded.
+    """
+    return jax.device_put(traj, replicated(mesh))
+
+
+def scaling_report(step_fn, args, mesh: Mesh, iters: int = 10) -> dict:
+    """Measure SPMD scaling of ``step_fn(*args)`` over ``mesh`` vs one device.
+
+    Returns wall-clock per call for the sharded and single-device layouts and
+    the implied scaling efficiency. Meaningful on real multi-chip hardware
+    (virtual CPU devices share the same cores)."""
+    import time
+
+    f = jax.jit(step_fn)
+    out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    jax.block_until_ready(out)
+    sharded = (time.perf_counter() - t0) / iters
+
+    single = jax.devices()[0]
+    args1 = jax.tree_util.tree_map(lambda x: jax.device_put(x, single), args)
+    out = f(*args1)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args1)
+    jax.block_until_ready(out)
+    alone = (time.perf_counter() - t0) / iters
+
+    n = mesh.devices.size
+    return {
+        "devices": n,
+        "sharded_s": sharded,
+        "single_device_s": alone,
+        "scaling_efficiency": alone / (sharded * n),
+    }
 
 
 def shard_ppo_state(state: Any, mesh: Mesh) -> Any:

@@ -80,3 +80,23 @@ def test_sharded_ppo_train_step():
     jax.block_until_ready(state)
     assert float(metrics["reward_per_step"]) > 0.0
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_gather_trajectory_replicates():
+    import jax
+    import numpy as np
+
+    from gymnasium_tpu.envs.phys2d.cartpole import CartPoleFunctional
+    from gymnasium_tpu.parallel import gather_trajectory, make_mesh, shard_env_batch
+    from gymnasium_tpu.vector.jax_vector_env import JaxVectorEnv
+
+    mesh = make_mesh(jax.devices("cpu"))
+    env = JaxVectorEnv(CartPoleFunctional(), num_envs=64, max_episode_steps=100, seed=0)
+    env.reset()
+    env.carry = shard_env_batch(env.carry, mesh)
+    carry, traj = env.rollout(16)
+    # dp-sharded along the env axis before, fully replicated after
+    assert "dp" in str(traj.obs.sharding.spec)
+    gathered = gather_trajectory(traj, mesh)
+    assert gathered.obs.sharding.is_fully_replicated
+    assert np.asarray(gathered.obs).shape == (16, 64, 4)
