@@ -117,3 +117,14 @@ def test_energy_conservation_free_fall(robot):
     assert abs(e1 - e0) / scale < 0.05, (
         f"{name}: energy drift {e0} -> {e1} vs exchanged {ke1}"
     )
+
+
+def test_level_batched_fk_matches_sequential(robot):
+    """fk_full_batched (level-parallel composition) must reproduce fk_full
+    exactly — kept as verified infrastructure for deeper kinematic trees."""
+    from gymnasium_tpu.physics.articulated import fk_full, fk_full_batched
+
+    name, model, _ = robot
+    q, _ = _rand_state(model, seed=7)
+    for a, b in zip(fk_full(model, q), fk_full_batched(model, q)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
