@@ -138,3 +138,17 @@ def test_play_plot_callback():
         pytest.skip(f"PlayPlot unavailable: {e}")
     plot.callback(0, 1, 0, 1.0, False, False, {})
     assert saw == [1.0]
+
+
+def test_profiler_trace_writes_artifacts(tmp_path):
+    """utils.performance.trace wraps jax.profiler (SURVEY.md §5.1)."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from gymnasium_tpu.utils.performance import trace
+
+    with trace(str(tmp_path)):
+        jax.block_until_ready(jax.jit(lambda a: a * 2)(jnp.ones(64)))
+    assert glob.glob(str(tmp_path / "**" / "*"), recursive=True), "no trace output"
