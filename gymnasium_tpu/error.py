@@ -15,6 +15,7 @@ __all__ = [
     "NameNotFound",
     "VersionNotFound",
     "DeprecatedEnv",
+    "DeprecatedWrapper",
     "RegistrationError",
     "UnseedableEnv",
     "DependencyNotInstalled",
@@ -66,6 +67,10 @@ class VersionNotFound(UnregisteredEnv):
 
 class DeprecatedEnv(Error):
     """Raised when the user requests an env whose version is deprecated."""
+
+
+class DeprecatedWrapper(ImportError):
+    """Raised when importing an old version of a wrapper (reference error.py:67)."""
 
 
 class RegistrationError(Error):
