@@ -72,10 +72,12 @@ class PusherEnv(MujocoEnv, EzPickle):
         p = self._positions()
         vec_1 = p[self._obj_idx] - p[self._tips_idx]
         vec_2 = p[self._obj_idx] - p[self._goal_idx]
-        reward_near = -float(np.linalg.norm(vec_1))
+        # components carry their weights, reward is their plain sum
+        # (reference pusher_v5.py:229-233: weights near=0.5, dist=1, ctrl=0.1)
+        reward_near = -float(np.linalg.norm(vec_1)) * 0.5
         reward_dist = -float(np.linalg.norm(vec_2))
-        reward_ctrl = -float(np.square(action).sum())
-        reward = reward_dist + 0.1 * reward_ctrl + 0.5 * reward_near
+        reward_ctrl = -float(np.square(action).sum()) * 0.1
+        reward = reward_dist + reward_ctrl + reward_near
 
         self.do_simulation(action)
         if self.render_mode == "human":
