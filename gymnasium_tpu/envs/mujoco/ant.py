@@ -1,8 +1,8 @@
 """Ant: quadruped locomotion with a floating base.
 
-Behavioral parity: reference mujoco/ant_v5.py (healthy-z termination,
-forward reward, ctrl cost; the cfrc-based contact cost is zero here — the
-engine exposes no per-body external force accumulator yet).
+Behavioral parity: reference mujoco/ant_v5.py — healthy-z termination,
+forward reward, ctrl cost, and the cfrc-based contact cost computed from the
+engine's aggregated per-body contact wrenches (cfrc_ext).
 """
 
 from __future__ import annotations
@@ -27,6 +27,7 @@ class AntEnv(MujocoEnv, EzPickle):
         self,
         forward_reward_weight: float = 1.0,
         ctrl_cost_weight: float = 0.5,
+        contact_cost_weight: float = 5e-4,
         healthy_reward: float = 1.0,
         terminate_when_unhealthy: bool = True,
         healthy_z_range: tuple[float, float] = (0.2, 1.0),
@@ -40,6 +41,7 @@ class AntEnv(MujocoEnv, EzPickle):
             self,
             forward_reward_weight,
             ctrl_cost_weight,
+            contact_cost_weight,
             healthy_reward,
             terminate_when_unhealthy,
             healthy_z_range,
@@ -51,6 +53,7 @@ class AntEnv(MujocoEnv, EzPickle):
         )
         self.forward_reward_weight = forward_reward_weight
         self.ctrl_cost_weight = ctrl_cost_weight
+        self.contact_cost_weight = contact_cost_weight
         self.healthy_reward = healthy_reward
         self.terminate_when_unhealthy = terminate_when_unhealthy
         self._healthy_z_range = healthy_z_range
@@ -96,10 +99,9 @@ class AntEnv(MujocoEnv, EzPickle):
         parts = [] if self._exclude_xy else [self.qpos[:2]]
         parts += [z, quat, joints, qvel]
         if self._include_cfrc:
-            # per-body external contact wrenches (reference data.cfrc_ext[1:]);
-            # the soft-contact engine does not yet aggregate per body, so the
-            # block is zeros — correct shape, conservative values
-            parts.append(np.zeros(13 * 6))
+            # per-body external contact wrenches (reference data.cfrc_ext[1:]),
+            # aggregated from the soft-contact engine's point forces
+            parts.append(self.cfrc_ext.reshape(-1))
         return np.concatenate(parts).astype(np.float64)
 
     def step(self, action):
@@ -112,8 +114,12 @@ class AntEnv(MujocoEnv, EzPickle):
         healthy = self.is_healthy()
         healthy_reward = self.healthy_reward * (healthy or not self.terminate_when_unhealthy)
         ctrl_cost = self.ctrl_cost_weight * float(np.sum(np.square(action)))
+        # contact cost over clipped wrenches (reference ant_v5.py:328-339)
+        contact_cost = self.contact_cost_weight * float(
+            np.sum(np.square(np.clip(self.cfrc_ext, -1.0, 1.0)))
+        )
 
-        reward = forward_reward + healthy_reward - ctrl_cost
+        reward = forward_reward + healthy_reward - ctrl_cost - contact_cost
         terminated = self.terminate_when_unhealthy and not healthy
         info = {
             "x_position": float(xy_after[0]),
@@ -122,6 +128,7 @@ class AntEnv(MujocoEnv, EzPickle):
             "y_velocity": float(y_velocity),
             "reward_forward": float(forward_reward),
             "reward_ctrl": -ctrl_cost,
+            "reward_contact": -contact_cost,
             "reward_survive": float(healthy_reward),
         }
         if self.render_mode == "human":
@@ -148,7 +155,7 @@ class AntFunctional(MujocoFuncEnv):
         quat = euler_to_quat(jnp, q[3:6])
         omega = euler_rates_to_omega(jnp, q[3:6], qd[3:6])
         z = jnp.asarray([self._z0 + q[2]])
-        cfrc_ext = jnp.zeros(13 * 6)  # see AntEnv._get_obs
+        cfrc_ext = self._dyn["contact_wrenches"](q, qd).reshape(-1)
         return jnp.concatenate([z, quat, q[6:], qd[:3], omega, qd[6:], cfrc_ext])
 
     def reward(self, state, action, next_state, rng, params: Any = None):

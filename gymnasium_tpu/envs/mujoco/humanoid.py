@@ -2,8 +2,8 @@
 
 Behavioral parity: reference mujoco/humanoid_v5.py (376-dim observation
 assembled from position/velocity/com-inertia/com-velocity/actuator-force/
-external-force blocks; the last block is zeros — the engine has no external
-force accumulator yet).
+external-force blocks; cfrc_ext comes from the engine's aggregated per-body
+contact wrenches).
 """
 
 from __future__ import annotations
@@ -135,7 +135,7 @@ class HumanoidEnv(MujocoEnv, EzPickle):
         qfrc_actuator = np.zeros(self.model.nv)
         qfrc_actuator[self.model.act_dof] = self.model.act_gear * self._last_ctrl
         actuator_forces = qfrc_actuator[6:]  # reference qfrc_actuator[6:] (17)
-        cfrc_ext = np.zeros(_NBODY_OBS * 6)
+        cfrc_ext = self.cfrc_ext[:_NBODY_OBS].reshape(-1)
         return np.concatenate(
             [position, velocity, self._cinert, self._com_velocity_block(), actuator_forces, cfrc_ext]
         ).astype(np.float64)
@@ -181,8 +181,8 @@ class HumanoidEnv(MujocoEnv, EzPickle):
 class HumanoidFunctional(MujocoFuncEnv):
     """Device-resident Humanoid with the host env's full 348-dim observation
     (reference humanoid_v5.py:436-470): position, velocity, static cinert,
-    jvp-derived com velocities, and zero-filled qfrc_actuator/cfrc_ext blocks
-    (the host env approximates those the same way)."""
+    jvp-derived com velocities, engine contact wrenches for cfrc_ext, and a
+    zero qfrc_actuator block (the host env approximates it the same way)."""
 
     model_name = "humanoid"
     frame_skip = 5
@@ -215,7 +215,7 @@ class HumanoidFunctional(MujocoFuncEnv):
             [vel[:_NBODY_OBS], jnp.zeros((_NBODY_OBS, 3))], axis=1
         ).reshape(-1)
         qfrc = jnp.zeros(self._nv - 6)
-        cfrc_ext = jnp.zeros(_NBODY_OBS * 6)
+        cfrc_ext = self._dyn["contact_wrenches"](q, qd)[:_NBODY_OBS].reshape(-1)
         return jnp.concatenate(
             [position, velocity, jnp.asarray(self._cinert), rows, qfrc, cfrc_ext]
         )

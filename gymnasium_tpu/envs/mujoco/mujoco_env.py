@@ -168,6 +168,13 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
         self.qpos = np.asarray(q)
         self.qvel = np.asarray(qd)
 
+    @property
+    def cfrc_ext(self) -> np.ndarray:
+        """Per-body external contact wrench ``[torque, force]`` (nbody, 6) —
+        the engine's equivalent of MuJoCo's ``data.cfrc_ext`` (without the
+        world row)."""
+        return np.asarray(self._dyn["contact_wrenches"](self.qpos, self.qvel))
+
     # -- kinematics helpers ------------------------------------------------
 
     def body_index(self, name: str) -> int:

@@ -553,9 +553,8 @@ def make_dynamics(model: ArticulatedModel):
         _, _, cpts = kin_all(q)
         return cpts
 
-    def _contact_forces(pts, Jc, qd):
-        """Ground-plane spring-damper contact mapped to joint space, given
-        precomputed contact points and their (nc, nv, 3) Jacobian."""
+    def _contact_point_forces(pts, Jc, qd):
+        """World-frame contact force per contact sphere (nc, 3)."""
         radii = jnp.asarray(model.contact_radius)
         vels = jnp.sum(Jc * qd[None, :, None], axis=1)  # (nc, 3)
 
@@ -578,8 +577,26 @@ def make_dynamics(model: ArticulatedModel):
         ft_norm = jnp.sqrt(jnp.sum(ft_raw**2, axis=-1) + 1e-12)
         scale = jnp.minimum(1.0, model.friction * fn / ft_norm)
         ft = ft_raw * scale[:, None]
-        f = jnp.concatenate([ft, fn[:, None]], axis=-1)
+        return jnp.concatenate([ft, fn[:, None]], axis=-1)
+
+    def _contact_forces(pts, Jc, qd):
+        """Ground contact mapped to joint space via the contact Jacobian."""
+        f = _contact_point_forces(pts, Jc, qd)
         return jnp.sum(Jc * f[:, None, :], axis=(0, 2))
+
+    def contact_wrenches(q, qd):
+        """Per-body external contact wrench (nbody, 6) as ``[torque, force]``
+        about the body com — the engine's ``cfrc_ext`` (reference
+        ``data.cfrc_ext`` layout: rotational first)."""
+        if not has_contacts:
+            return jnp.zeros((nbody, 6))
+        pc, _, cpts, _, _, Jc, _ = all_jacobians(q)
+        f = _contact_point_forces(cpts, Jc, qd)  # (nc, 3)
+        lever = cpts - jnp.sum(contact_sel[:, :, None] * pc[None, :, :], axis=1)
+        t = jnp.cross(lever, f)  # (nc, 3) torque about the body com
+        F = jnp.sum(contact_sel[:, :, None] * f[:, None, :], axis=0)  # (nbody, 3)
+        T = jnp.sum(contact_sel[:, :, None] * t[:, None, :], axis=0)
+        return jnp.concatenate([T, F], axis=-1)
 
     def limit_torques(q, qd):
         lim = jnp.asarray(model.joints.limited)
@@ -626,6 +643,7 @@ def make_dynamics(model: ArticulatedModel):
         "contact_points": contact_points,
         "mass_matrix": mass_matrix,
         "bias": bias,
+        "contact_wrenches": contact_wrenches,
         "kinetic_energy": kinetic_energy,
         "potential": potential,
         "com_world": com_world,

@@ -11,7 +11,7 @@ DECOMPOSED = {
     "Hopper-v5": ("reward_forward", "reward_ctrl", "reward_survive"),
     "Walker2d-v5": ("reward_forward", "reward_ctrl", "reward_survive"),
     "Swimmer-v5": ("reward_forward", "reward_ctrl"),
-    "Ant-v5": ("reward_forward", "reward_ctrl", "reward_survive"),
+    "Ant-v5": ("reward_forward", "reward_ctrl", "reward_contact", "reward_survive"),
 }
 
 
