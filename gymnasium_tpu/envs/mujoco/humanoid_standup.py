@@ -51,7 +51,13 @@ class HumanoidStandupEnv(HumanoidEnv):
         pos_after = self.torso_z
         uph_cost = self.uph_cost_weight * pos_after / self.model.timestep
         quad_ctrl_cost = self.ctrl_cost_weight * float(np.square(action).sum())
-        quad_impact_cost = 0.0  # no external-force accumulator yet
+        # impact cost over the aggregated contact wrenches, clipped to 10
+        # (reference humanoidstandup_v5.py:448-452)
+        quad_impact_cost = float(
+            np.clip(
+                self.impact_cost_weight * np.square(self.cfrc_ext).sum(), -np.inf, 10.0
+            )
+        )
         reward = uph_cost - quad_ctrl_cost - quad_impact_cost + 1
 
         info = {
