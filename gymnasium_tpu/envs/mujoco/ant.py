@@ -28,6 +28,7 @@ class AntEnv(MujocoEnv, EzPickle):
         forward_reward_weight: float = 1.0,
         ctrl_cost_weight: float = 0.5,
         contact_cost_weight: float = 5e-4,
+        contact_force_range: tuple[float, float] = (-1.0, 1.0),
         healthy_reward: float = 1.0,
         terminate_when_unhealthy: bool = True,
         healthy_z_range: tuple[float, float] = (0.2, 1.0),
@@ -42,6 +43,7 @@ class AntEnv(MujocoEnv, EzPickle):
             forward_reward_weight,
             ctrl_cost_weight,
             contact_cost_weight,
+            contact_force_range,
             healthy_reward,
             terminate_when_unhealthy,
             healthy_z_range,
@@ -54,6 +56,7 @@ class AntEnv(MujocoEnv, EzPickle):
         self.forward_reward_weight = forward_reward_weight
         self.ctrl_cost_weight = ctrl_cost_weight
         self.contact_cost_weight = contact_cost_weight
+        self._contact_force_range = contact_force_range
         self.healthy_reward = healthy_reward
         self.terminate_when_unhealthy = terminate_when_unhealthy
         self._healthy_z_range = healthy_z_range
@@ -116,7 +119,7 @@ class AntEnv(MujocoEnv, EzPickle):
         ctrl_cost = self.ctrl_cost_weight * float(np.sum(np.square(action)))
         # contact cost over clipped wrenches (reference ant_v5.py:328-339)
         contact_cost = self.contact_cost_weight * float(
-            np.sum(np.square(np.clip(self.cfrc_ext, -1.0, 1.0)))
+            np.sum(np.square(np.clip(self.cfrc_ext, *self._contact_force_range)))
         )
 
         reward = forward_reward + healthy_reward - ctrl_cost - contact_cost

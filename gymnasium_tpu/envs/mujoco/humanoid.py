@@ -59,11 +59,17 @@ class HumanoidEnv(MujocoEnv, EzPickle):
         self,
         forward_reward_weight: float = 1.25,
         ctrl_cost_weight: float = 0.1,
+        contact_cost_weight: float = 5e-7,
+        contact_cost_range: tuple[float, float] = (-np.inf, 10.0),
         healthy_reward: float = 5.0,
         terminate_when_unhealthy: bool = True,
         healthy_z_range: tuple[float, float] = (1.0, 2.0),
         reset_noise_scale: float = 1e-2,
         exclude_current_positions_from_observation: bool = True,
+        include_cinert_in_observation: bool = True,
+        include_cvel_in_observation: bool = True,
+        include_qfrc_actuator_in_observation: bool = True,
+        include_cfrc_ext_in_observation: bool = True,
         render_mode: str | None = None,
         **kwargs: Any,
     ):
@@ -71,11 +77,17 @@ class HumanoidEnv(MujocoEnv, EzPickle):
             self,
             forward_reward_weight,
             ctrl_cost_weight,
+            contact_cost_weight,
+            contact_cost_range,
             healthy_reward,
             terminate_when_unhealthy,
             healthy_z_range,
             reset_noise_scale,
             exclude_current_positions_from_observation,
+            include_cinert_in_observation,
+            include_cvel_in_observation,
+            include_qfrc_actuator_in_observation,
+            include_cfrc_ext_in_observation,
             render_mode,
             **kwargs,
         )
@@ -85,9 +97,19 @@ class HumanoidEnv(MujocoEnv, EzPickle):
         self.terminate_when_unhealthy = terminate_when_unhealthy
         self._healthy_z_range = healthy_z_range
         self._exclude_xy = exclude_current_positions_from_observation
+        self.contact_cost_weight = contact_cost_weight
+        self._contact_cost_range = contact_cost_range
+        self._include_cinert = include_cinert_in_observation
+        self._include_cvel = include_cvel_in_observation
+        self._include_qfrc = include_qfrc_actuator_in_observation
+        self._include_cfrc = include_cfrc_ext_in_observation
         # 22 + 23 + cinert 130 + cvel 78 + qfrc_actuator[6:] 17 + cfrc_ext 78
         # (reference humanoid_v5.py:436-470: 348-dim by default)
-        obs_dim = 348 if exclude_current_positions_from_observation else 350
+        obs_dim = 45 if exclude_current_positions_from_observation else 47
+        obs_dim += 130 * include_cinert_in_observation
+        obs_dim += 78 * include_cvel_in_observation
+        obs_dim += 17 * include_qfrc_actuator_in_observation
+        obs_dim += 78 * include_cfrc_ext_in_observation
         super().__init__(
             self.model_name_default,
             frame_skip=5,
@@ -132,13 +154,18 @@ class HumanoidEnv(MujocoEnv, EzPickle):
         if not self._exclude_xy:
             position = np.concatenate([self.qpos[:2], position])
         velocity = np.concatenate([self.qvel[:3], omega, self.qvel[6:]])
-        qfrc_actuator = np.zeros(self.model.nv)
-        qfrc_actuator[self.model.act_dof] = self.model.act_gear * self._last_ctrl
-        actuator_forces = qfrc_actuator[6:]  # reference qfrc_actuator[6:] (17)
-        cfrc_ext = self.cfrc_ext[:_NBODY_OBS].reshape(-1)
-        return np.concatenate(
-            [position, velocity, self._cinert, self._com_velocity_block(), actuator_forces, cfrc_ext]
-        ).astype(np.float64)
+        parts = [position, velocity]
+        if self._include_cinert:
+            parts.append(self._cinert)
+        if self._include_cvel:
+            parts.append(self._com_velocity_block())
+        if self._include_qfrc:
+            qfrc_actuator = np.zeros(self.model.nv)
+            qfrc_actuator[self.model.act_dof] = self.model.act_gear * self._last_ctrl
+            parts.append(qfrc_actuator[6:])  # reference qfrc_actuator[6:] (17)
+        if self._include_cfrc:
+            parts.append(self.cfrc_ext[:_NBODY_OBS].reshape(-1))
+        return np.concatenate(parts).astype(np.float64)
 
     def _sample_initial_state(self):
         noise = self._reset_noise_scale
@@ -161,8 +188,16 @@ class HumanoidEnv(MujocoEnv, EzPickle):
         healthy = self.is_healthy()
         healthy_reward = self.healthy_reward * (healthy or not self.terminate_when_unhealthy)
         ctrl_cost = self.ctrl_cost_weight * float(np.sum(np.square(action)))
+        # contact cost over the aggregated wrenches, clipped
+        # (reference humanoid_v5.py:422-427, restored in v5)
+        contact_cost = float(
+            np.clip(
+                self.contact_cost_weight * np.sum(np.square(self.cfrc_ext)),
+                *self._contact_cost_range,
+            )
+        )
 
-        reward = forward_reward + healthy_reward - ctrl_cost
+        reward = forward_reward + healthy_reward - ctrl_cost - contact_cost
         terminated = self.terminate_when_unhealthy and not healthy
         info = {
             "x_position": float(xy_after[0]),
@@ -171,6 +206,7 @@ class HumanoidEnv(MujocoEnv, EzPickle):
             "y_velocity": float(y_velocity),
             "reward_forward": float(forward_reward),
             "reward_ctrl": -ctrl_cost,
+            "reward_contact": -contact_cost,
             "reward_survive": float(healthy_reward),
         }
         if self.render_mode == "human":

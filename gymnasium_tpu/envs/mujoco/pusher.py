@@ -20,8 +20,20 @@ __all__ = ["PusherEnv", "PusherFunctional"]
 class PusherEnv(MujocoEnv, EzPickle):
     """Push the object onto the goal position."""
 
-    def __init__(self, render_mode: str | None = None, **kwargs: Any):
-        EzPickle.__init__(self, render_mode, **kwargs)
+    def __init__(
+        self,
+        reward_near_weight: float = 0.5,
+        reward_dist_weight: float = 1.0,
+        reward_control_weight: float = 0.1,
+        render_mode: str | None = None,
+        **kwargs: Any,
+    ):
+        EzPickle.__init__(
+            self, reward_near_weight, reward_dist_weight, reward_control_weight, render_mode, **kwargs
+        )
+        self._reward_near_weight = reward_near_weight
+        self._reward_dist_weight = reward_dist_weight
+        self._reward_control_weight = reward_control_weight
         super().__init__(
             "pusher_v5",
             frame_skip=5,
@@ -73,10 +85,10 @@ class PusherEnv(MujocoEnv, EzPickle):
         vec_1 = p[self._obj_idx] - p[self._tips_idx]
         vec_2 = p[self._obj_idx] - p[self._goal_idx]
         # components carry their weights, reward is their plain sum
-        # (reference pusher_v5.py:229-233: weights near=0.5, dist=1, ctrl=0.1)
-        reward_near = -float(np.linalg.norm(vec_1)) * 0.5
-        reward_dist = -float(np.linalg.norm(vec_2))
-        reward_ctrl = -float(np.square(action).sum()) * 0.1
+        # (reference pusher_v5.py:229-233)
+        reward_near = -float(np.linalg.norm(vec_1)) * self._reward_near_weight
+        reward_dist = -float(np.linalg.norm(vec_2)) * self._reward_dist_weight
+        reward_ctrl = -float(np.square(action).sum()) * self._reward_control_weight
         reward = reward_dist + reward_ctrl + reward_near
 
         self.do_simulation(action)

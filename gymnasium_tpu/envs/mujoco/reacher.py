@@ -20,8 +20,16 @@ __all__ = ["ReacherEnv", "ReacherFunctional"]
 class ReacherEnv(MujocoEnv, EzPickle):
     """Move the arm fingertip onto the target."""
 
-    def __init__(self, render_mode: str | None = None, **kwargs: Any):
-        EzPickle.__init__(self, render_mode, **kwargs)
+    def __init__(
+        self,
+        reward_dist_weight: float = 1.0,
+        reward_control_weight: float = 1.0,
+        render_mode: str | None = None,
+        **kwargs: Any,
+    ):
+        EzPickle.__init__(self, reward_dist_weight, reward_control_weight, render_mode, **kwargs)
+        self._reward_dist_weight = reward_dist_weight
+        self._reward_control_weight = reward_control_weight
         super().__init__(
             "reacher",
             frame_skip=2,
@@ -64,8 +72,8 @@ class ReacherEnv(MujocoEnv, EzPickle):
     def step(self, action):
         p = self._body_positions()
         vec = p[self._fingertip_idx] - p[self._target_idx]
-        reward_dist = -float(np.linalg.norm(vec))
-        reward_ctrl = -float(np.square(action).sum())
+        reward_dist = -float(np.linalg.norm(vec)) * self._reward_dist_weight
+        reward_ctrl = -float(np.square(action).sum()) * self._reward_control_weight
         reward = reward_dist + reward_ctrl
 
         self.do_simulation(action)
