@@ -166,9 +166,11 @@ class AntFunctional(MujocoFuncEnv):
 
         x_velocity = (next_state["qpos"][0] - next_state["prev_x"]) / self.dt
         ctrl_cost = 0.5 * jnp.sum(jnp.square(action))
+        cfrc = self._dyn["contact_wrenches"](next_state["qpos"], next_state["qvel"])
+        contact_cost = 5e-4 * jnp.sum(jnp.square(jnp.clip(cfrc, -1.0, 1.0)))
         z = self._z0 + next_state["qpos"][2]
         healthy = (z >= 0.2) & (z <= 1.0)
-        return x_velocity + jnp.where(healthy, 1.0, 0.0) - ctrl_cost
+        return x_velocity + jnp.where(healthy, 1.0, 0.0) - ctrl_cost - contact_cost
 
     def terminal(self, state, rng, params: Any = None):
         import jax.numpy as jnp

@@ -263,7 +263,9 @@ class HumanoidFunctional(MujocoFuncEnv):
         z = self._z0 + next_state["qpos"][2]
         healthy = (z > 1.0) & (z < 2.0)
         ctrl_cost = 0.1 * jnp.sum(jnp.square(action))
-        return 1.25 * x_velocity + jnp.where(healthy, 5.0, 0.0) - ctrl_cost
+        cfrc = self._dyn["contact_wrenches"](next_state["qpos"], next_state["qvel"])
+        contact_cost = jnp.clip(5e-7 * jnp.sum(jnp.square(cfrc)), None, 10.0)
+        return 1.25 * x_velocity + jnp.where(healthy, 5.0, 0.0) - ctrl_cost - contact_cost
 
     def terminal(self, state, rng, params: Any = None):
         z = self._z0 + state["qpos"][2]

@@ -80,7 +80,9 @@ class HumanoidStandupFunctional(HumanoidFunctional):
 
         pos_after = self._z0 + next_state["qpos"][2]
         uph_cost = pos_after / self.model.timestep
-        return uph_cost - 0.1 * jnp.sum(jnp.square(action)) + 1.0
+        cfrc = self._dyn["contact_wrenches"](next_state["qpos"], next_state["qvel"])
+        impact = jnp.clip(0.5e-6 * jnp.sum(jnp.square(cfrc)), None, 10.0)
+        return uph_cost - 0.1 * jnp.sum(jnp.square(action)) - impact + 1.0
 
     def terminal(self, state, rng, params: Any = None):
         import jax.numpy as jnp
