@@ -598,13 +598,30 @@ def make_dynamics(model: ArticulatedModel):
         T = jnp.sum(contact_sel[:, :, None] * t[:, None, :], axis=0)
         return jnp.concatenate([T, F], axis=-1)
 
+    # Limit stiffness scaled to each dof's peak actuator torque so a
+    # max-torque push penetrates <= ~0.05 rad (MuJoCo treats limits as hard
+    # constraints; a fixed weak spring let 150 N·m ant hips whip through
+    # their range and catapult the body). Capped for explicit stability.
+    _tau_max = np.zeros(nv)
+    for _d, _g in zip(np.asarray(model.act_dof), np.abs(np.asarray(model.act_gear))):
+        _tau_max[_d] = max(_tau_max[_d], _g)
+    _m_dof = np.asarray(model.joints.armature) + 0.02
+    _k_lim = np.clip(
+        np.maximum(model.limit_stiffness, _tau_max / 0.05),
+        None,
+        0.25 * _m_dof / model.timestep**2,
+    )
+    limit_k = jnp.asarray(_k_lim)
+    limit_c = jnp.asarray(1.4 * np.sqrt(_k_lim * _m_dof))
+
     def limit_torques(q, qd):
         lim = jnp.asarray(model.joints.limited)
         lower = jnp.asarray(model.joints.lower)
         upper = jnp.asarray(model.joints.upper)
         below = jnp.minimum(q - lower, 0.0)
         above = jnp.maximum(q - upper, 0.0)
-        tau = -model.limit_stiffness * (below + above)
+        violating = (below < 0.0) | (above > 0.0)
+        tau = -limit_k * (below + above) - jnp.where(violating, limit_c * qd, 0.0)
         return jnp.where(lim, tau, 0.0)
 
     def actuation(ctrl):

@@ -126,3 +126,32 @@ def test_reward_structure_matches(env_id):
     assert not missing, f"{env_id} missing info keys: {missing}"
     ref.close()
     ours.close()
+
+
+@pytest.mark.parametrize("env_id", ["Ant-v5", "Hopper-v5", "Walker2d-v5", "Humanoid-v5"])
+def test_random_policy_episode_length_distribution(env_id):
+    """Random-policy survival times match the real engine within 2x —
+    catches contact/limit-model blowups (an early version catapulted the
+    Ant through its healthy-z ceiling in <20 steps vs MuJoCo's ~64)."""
+
+    def mean_len(make):
+        out = []
+        for seed in range(5):
+            env = make(env_id)
+            env.reset(seed=seed)
+            env.action_space.seed(seed)
+            steps = 0
+            for _ in range(80):
+                _, _, term, trunc, _ = env.step(env.action_space.sample())
+                steps += 1
+                if term or trunc:
+                    break
+            out.append(steps)
+            env.close()
+        return float(np.mean(out))
+
+    ref_len = mean_len(ref_gym.make)
+    our_len = mean_len(gym.make)
+    assert 0.5 * ref_len <= our_len <= 2.0 * ref_len, (
+        f"{env_id}: mean episode length {our_len} vs reference {ref_len}"
+    )
