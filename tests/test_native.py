@@ -67,3 +67,24 @@ def test_native_matches_host_distribution():
         if te or tr:
             host.reset()
     assert np.isclose(np.mean(native_rewards), np.mean(host_rewards), rtol=0.3)
+
+
+def test_build_from_source(tmp_path):
+    """The C++ stepper rebuilds from source with the system toolchain
+    (cache defeated by copying the source into a temp package dir)."""
+    import ctypes
+    import shutil
+
+    from gymnasium_tpu.native import build as build_mod
+
+    src = shutil.copy(
+        build_mod._DIR + "/tabular.cpp", tmp_path / "tabular_copy.cpp"
+    )
+    old_dir = build_mod._DIR
+    try:
+        build_mod._DIR = str(tmp_path)
+        lib = build_mod.build_library("tabular_rebuild", ["tabular_copy.cpp"])
+    finally:
+        build_mod._DIR = old_dir
+    assert isinstance(lib, ctypes.CDLL)
+    assert hasattr(lib, "tabular_step_batch")
