@@ -17,33 +17,11 @@ import gymnasium_tpu.logger as logger
 from gymnasium_tpu.spaces.space import Space
 
 
-def _broadcast(value, dtype: np.dtype, shape: tuple[int, ...]) -> np.ndarray:
-    """Broadcast a scalar or array bound to ``shape`` with dtype-aware casting."""
-    if np.isscalar(value) or (isinstance(value, np.ndarray) and value.shape == ()):
-        value = float(value) if np.dtype(dtype).kind == "f" else value
-        out = np.full(shape, value, dtype=float)
-    else:
-        out = np.broadcast_to(np.asarray(value, dtype=float), shape).copy()
-    return out
-
-
-def _cast_bound(bound: np.ndarray, dtype: np.dtype, is_low: bool) -> np.ndarray:
-    """Cast a float bound array to ``dtype``, mapping infinities to dtype limits."""
-    if dtype.kind in "iu":
-        info = np.iinfo(dtype)
-        out = bound.copy()
-        out[np.isneginf(out)] = info.min
-        out[np.isposinf(out)] = info.max
-        return out.astype(dtype)
-    if dtype.kind == "f" and dtype.itemsize < 8:
-        # Narrow float dtypes cannot represent very large finite floats; clamp
-        # finite out-of-range bounds to the dtype limits (infinities pass through).
-        finfo = np.finfo(dtype)
-        finite = np.isfinite(bound)
-        out = bound.copy()
-        out[finite] = np.clip(out[finite], -np.float64(finfo.max), np.float64(finfo.max))
-        return out.astype(dtype)
-    return bound.astype(dtype)
+def _is_float_integer(value) -> bool:
+    """Scalar integer or floating value (numpy or python)."""
+    return np.issubdtype(type(value), np.integer) or np.issubdtype(
+        type(value), np.floating
+    )
 
 
 class Box(Space[np.ndarray]):
@@ -61,43 +39,166 @@ class Box(Space[np.ndarray]):
         dtype: Any = np.float32,
         seed: int | np.random.Generator | None = None,
     ):
-        assert dtype is not None, "Box dtype must not be None"
-        dtype = np.dtype(dtype)
-        assert dtype.kind in "fiu" or dtype == np.bool_, f"Invalid Box dtype: {dtype}"
-
-        if shape is not None:
-            shape = tuple(int(dim) for dim in shape)
-        elif isinstance(low, np.ndarray) and low.shape != ():
-            shape = low.shape
-        elif isinstance(high, np.ndarray) and high.shape != ():
-            shape = high.shape
-        else:
-            shape = (1,)
-
-        low_f = _broadcast(low, dtype, shape)
-        high_f = _broadcast(high, dtype, shape)
-        if low_f.shape != shape or high_f.shape != shape:
-            raise ValueError(
-                f"Box low/high shape mismatch: low {low_f.shape}, high {high_f.shape}, shape {shape}"
-            )
-        if np.any(low_f > high_f):
-            raise ValueError(f"Box low must be <= high, got low={low_f}, high={high_f}")
-
-        self.bounded_below: np.ndarray = -np.inf < low_f
-        self.bounded_above: np.ndarray = np.inf > high_f
-
-        self.low = _cast_bound(low_f, dtype, is_low=True)
-        self.high = _cast_bound(high_f, dtype, is_low=False)
-
-        if np.any(self.low.astype(np.float64) > low_f) or np.any(
-            self.high.astype(np.float64) < high_f
+        # The validation contract (error types AND messages) mirrors the
+        # reference (gymnasium/spaces/box.py:85-170) — the reference's own
+        # test_box.py passes against this class.
+        if dtype is None:
+            raise ValueError("Box dtype must be explicitly provided, cannot be None.")
+        self.dtype = np.dtype(dtype)
+        if not (
+            np.issubdtype(self.dtype, np.integer)
+            or np.issubdtype(self.dtype, np.floating)
+            or self.dtype == np.bool_
         ):
-            logger.warn(f"Box bound precision lowered by casting to {dtype}")
+            raise ValueError(
+                f"Invalid Box dtype ({self.dtype}), must be an integer, floating, or bool dtype"
+            )
+
+        # shape determination / inference
+        if shape is not None:
+            if not isinstance(shape, Iterable):
+                raise TypeError(
+                    f"Expected Box shape to be an iterable, actual type={type(shape)}"
+                )
+            if not all(np.issubdtype(type(dim), np.integer) for dim in shape):
+                raise TypeError(
+                    f"Expected all Box shape elements to be integer, actual type={tuple(type(dim) for dim in shape)}"
+                )
+            shape = tuple(int(dim) for dim in shape)
+        elif isinstance(low, np.ndarray) and isinstance(high, np.ndarray):
+            if low.shape != high.shape:
+                raise ValueError(
+                    f"Box low.shape and high.shape don't match, low.shape={low.shape}, high.shape={high.shape}"
+                )
+            shape = low.shape
+        elif isinstance(low, np.ndarray):
+            shape = low.shape
+        elif isinstance(high, np.ndarray):
+            shape = high.shape
+        elif _is_float_integer(low) and _is_float_integer(high):
+            shape = (1,)
+        else:
+            raise ValueError(
+                "Box shape is not specified, therefore inferred from low and high. Expected low and high to be np.ndarray, integer, or float."
+                f"Actual types low={type(low)}, high={type(high)}"
+            )
+        self._shape: tuple[int, ...] = shape
+
+        if self.dtype == np.bool_:
+            dtype_min, dtype_max = 0, 1
+        elif np.issubdtype(self.dtype, np.floating):
+            dtype_min = float(np.finfo(self.dtype).min)
+            dtype_max = float(np.finfo(self.dtype).max)
+        else:
+            dtype_min = int(np.iinfo(self.dtype).min)
+            dtype_max = int(np.iinfo(self.dtype).max)
+
+        self.low, self.bounded_below = self._cast_bound(
+            low, "low", dtype_min, dtype_max
+        )
+        self.high, self.bounded_above = self._cast_bound(
+            high, "high", dtype_min, dtype_max
+        )
+
+        if self.low.shape != shape:
+            raise ValueError(
+                f"Box low.shape doesn't match provided shape, low.shape={self.low.shape}, shape={self._shape}"
+            )
+        if self.high.shape != shape:
+            raise ValueError(
+                f"Box high.shape doesn't match provided shape, high.shape={self.high.shape}, shape={self._shape}"
+            )
+        if np.any(self.low > self.high):
+            raise ValueError(
+                f"Box all low values must be less than or equal to high (some values break this), low={self.low}, high={self.high}"
+            )
 
         self.low_repr = _short_repr(self.low)
         self.high_repr = _short_repr(self.high)
 
-        super().__init__(shape, dtype, seed)
+        super().__init__(shape, self.dtype, seed)
+
+    def _cast_bound(self, value, name: str, dtype_min, dtype_max):
+        """Validate and cast one bound; returns ``(array, boundedness mask)``.
+
+        ``name`` is "low" or "high"; the messages match the reference's
+        `_cast_low`/`_cast_high` exactly.
+        """
+        sign_inf = np.isneginf if name == "low" else np.isposinf
+        inf_repr = "-np.inf" if name == "low" else "np.inf"
+        limit = dtype_min if name == "low" else dtype_max
+
+        if _is_float_integer(value):
+            if name == "low":
+                bounded = -np.inf < np.full(self._shape, value, dtype=float)
+            else:
+                bounded = np.full(self._shape, value, dtype=float) < np.inf
+
+            if np.isnan(value):
+                raise ValueError(f"No {name} value can be equal to `np.nan`, {name}={value}")
+            elif sign_inf(value):
+                if self.dtype.kind == "i":
+                    value = limit
+                elif self.dtype.kind in {"u", "b"}:
+                    raise ValueError(
+                        f"Box unsigned int dtype don't support `{inf_repr}`, {name}={value}"
+                    )
+            elif (name == "low" and value < dtype_min) or (
+                name == "high" and value > dtype_max
+            ):
+                extremum = "min" if name == "low" else "max"
+                raise ValueError(
+                    f"Box {name} is out of bounds of the dtype range, {name}={value}, {extremum} dtype={limit}"
+                )
+            return np.full(self._shape, value, dtype=self.dtype), bounded
+
+        if not isinstance(value, np.ndarray):
+            raise ValueError(
+                f"Box {name} must be a np.ndarray, integer, or float, actual type={type(value)}"
+            )
+        if not (
+            np.issubdtype(value.dtype, np.floating)
+            or np.issubdtype(value.dtype, np.integer)
+            or value.dtype == np.bool_
+        ):
+            raise ValueError(
+                f"Box {name} must be a floating, integer, or bool dtype, actual dtype={value.dtype}"
+            )
+        if np.any(np.isnan(value)):
+            raise ValueError(f"No {name} value can be equal to `np.nan`, {name}={value}")
+
+        bounded = (-np.inf < value) if name == "low" else (value < np.inf)
+
+        inf_mask = sign_inf(value)
+        if np.any(inf_mask):
+            if self.dtype.kind == "i":
+                # set the int limit AFTER the dtype cast: the reference writes
+                # the limit into the float array first, where int64.max rounds
+                # to 2^63 and overflows the later cast (reference box.py:292)
+                out = np.where(inf_mask, 0, value).astype(self.dtype)
+                out[inf_mask] = limit
+                return out, bounded
+            elif self.dtype.kind in {"u", "b"}:
+                raise ValueError(
+                    f"Box unsigned int dtype don't support `{inf_repr}`, {name}={value}"
+                )
+        elif value.dtype != self.dtype and (
+            np.any(value < dtype_min) if name == "low" else np.any(value > dtype_max)
+        ):
+            extremum = "min" if name == "low" else "max"
+            raise ValueError(
+                f"Box {name} is out of bounds of the dtype range, {name}={value}, {extremum} dtype={limit}"
+            )
+
+        if (
+            np.issubdtype(value.dtype, np.floating)
+            and np.issubdtype(self.dtype, np.floating)
+            and np.finfo(self.dtype).precision < np.finfo(value.dtype).precision
+        ):
+            logger.warn(
+                f"Box {name}'s precision lowered by casting to {self.dtype}, current {name}.dtype={value.dtype}"
+            )
+        return value.astype(self.dtype), bounded
 
     @property
     def shape(self) -> tuple[int, ...]:
@@ -118,16 +219,21 @@ class Box(Space[np.ndarray]):
             return below
         if manner == "above":
             return above
-        raise ValueError(f"manner must be 'both', 'below' or 'above', got {manner!r}")
+        raise ValueError(
+            f"manner is not in {{'below', 'above', 'both'}}, actual value: {manner}"
+        )
 
     def sample(self, mask: None = None, probability: None = None) -> np.ndarray:
         """Sample mixing uniform/exponential/normal draws per-element boundedness."""
+        from gymnasium_tpu import error
+
         if mask is not None:
-            raise Exception("Box.sample cannot be provided a mask, actual value: " + str(mask))
+            raise error.Error(
+                f"Box.sample cannot be provided a mask, actual value: {mask}"
+            )
         if probability is not None:
-            raise Exception(
-                "Box.sample cannot be provided a probability mask, actual value: "
-                + str(probability)
+            raise error.Error(
+                f"Box.sample cannot be provided a probability mask, actual value: {probability}"
             )
 
         high = self.high if self.dtype.kind == "f" else self.high.astype("int64") + 1
