@@ -257,7 +257,7 @@ class Box(Space[np.ndarray]):
             low=self.low[bounded], high=high[bounded], size=bounded[bounded].shape
         )
 
-        if self.dtype.kind in "iu":
+        if self.dtype.kind in "iub":
             sample = np.floor(sample)
 
         if self.dtype.kind in "iu":

@@ -26,11 +26,9 @@ class Dict(Space[typing.Dict[str, Any]], collections.abc.Mapping):
         seed: dict | int | np.random.Generator | None = None,
         **spaces_kwargs: Space,
     ):
-        assert spaces is None or len(spaces_kwargs) == 0, (
-            "Dict space cannot receive both a spaces dict and kwargs"
-        )
         if spaces is None:
             spaces = dict(spaces_kwargs)
+            spaces_kwargs = {}
         elif isinstance(spaces, collections.OrderedDict):
             # An explicit OrderedDict preserves insertion order (reference dict.py:71).
             spaces = dict(spaces.items())
@@ -43,7 +41,19 @@ class Dict(Space[typing.Dict[str, Any]], collections.abc.Mapping):
         elif isinstance(spaces, Sequence):
             spaces = dict(spaces)
 
-        assert isinstance(spaces, dict), f"Unexpected Dict space input, actual type: {type(spaces)}"
+        if not isinstance(spaces, dict):
+            raise TypeError(
+                f"Unexpected Dict space input, expecting dict, OrderedDict or Sequence, actual type: {type(spaces)}"
+            )
+
+        # kwargs merge with a provided mapping (reference dict.py:91-95)
+        for key, space in spaces_kwargs.items():
+            if key not in spaces:
+                spaces[key] = space
+            else:
+                raise ValueError(
+                    f"Dict space keyword '{key}' already exists in the spaces dictionary"
+                )
         for key, space in spaces.items():
             assert isinstance(space, Space), (
                 f"Dict space element is not an instance of Space: key='{key}', space={space}"
@@ -80,7 +90,9 @@ class Dict(Space[typing.Dict[str, Any]], collections.abc.Mapping):
         probability: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         if mask is not None and probability is not None:
-            raise ValueError("Only one of `mask` or `probability` can be provided")
+            raise ValueError(
+                f"Only one of `mask` or `probability` can be provided, actual values: mask={mask}, probability={probability}"
+            )
         if mask is not None:
             assert isinstance(mask, dict) and mask.keys() == self.spaces.keys()
             return {key: self.spaces[key].sample(mask=mask[key]) for key in self.spaces}
@@ -117,7 +129,9 @@ class Dict(Space[typing.Dict[str, Any]], collections.abc.Mapping):
         return self.spaces[key]
 
     def __setitem__(self, key: str, value: Space):
-        assert isinstance(value, Space), f"Trying to set {key} to Dict space with value that is not a space: {value}"
+        assert isinstance(value, Space), (
+            f"Trying to set {key} to Dict space with value that is not a gymnasium space, actual type: {type(value)}"
+        )
         self.spaces[key] = value
 
     def __iter__(self):

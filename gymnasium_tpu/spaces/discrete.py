@@ -21,13 +21,22 @@ class Discrete(Space[np.int64]):
         n: int | np.integer,
         seed: int | np.random.Generator | None = None,
         start: int | np.integer = 0,
+        dtype: str | type[np.integer] = np.int64,
     ):
         assert np.issubdtype(type(n), np.integer), f"Expects `n` to be an int, actual type: {type(n)}"
         assert n > 0, "n (counts of elements) have to be positive"
         assert np.issubdtype(type(start), np.integer), f"Expects `start` to be an int, actual type: {type(start)}"
-        self.n = np.int64(n)
-        self.start = np.int64(start)
-        super().__init__((), np.int64, seed)
+        # dtype contract matches reference discrete.py:64-74
+        if dtype is None:
+            raise TypeError(f"Invalid Discrete dtype, cannot be {dtype}.")
+        self.dtype = np.dtype(dtype)
+        if not np.issubdtype(self.dtype, np.integer):
+            raise TypeError(
+                f"Invalid Discrete dtype ({self.dtype}), must be an integer dtype"
+            )
+        self.n = self.dtype.type(n)
+        self.start = self.dtype.type(start)
+        super().__init__((), self.dtype, seed)
 
     @property
     def is_np_flattenable(self) -> bool:
@@ -37,33 +46,51 @@ class Discrete(Space[np.int64]):
         """Uniform sample; with ``mask`` (int8 0/1) restrict support; with
         ``probability`` (float, sums to 1) sample from that distribution."""
         if mask is not None and probability is not None:
-            raise ValueError("Only one of `mask` or `probability` can be provided")
+            raise ValueError(
+                f"Only one of `mask` or `probability` can be provided, actual values: mask={mask}, probability={probability}"
+            )
 
         if mask is not None:
-            assert isinstance(mask, np.ndarray), f"Expects mask to be np.ndarray, actual type: {type(mask)}"
-            assert mask.dtype == np.int8, f"Expects mask dtype np.int8, actual dtype: {mask.dtype}"
-            assert mask.shape == (int(self.n),), f"Expects mask shape ({self.n},), actual shape: {mask.shape}"
-            valid = np.logical_and(mask == 1, np.logical_or(mask == 0, mask == 1))
-            assert np.all(np.logical_or(mask == 0, mask == 1)), f"Mask values must be 0 or 1, actual values: {mask}"
-            valid_indices = np.where(mask)[0]
-            if len(valid_indices) == 0:
-                return self.start
-            return self.start + self.np_random.choice(valid_indices)
+            assert isinstance(mask, np.ndarray), (
+                f"The expected type of the sample mask is np.ndarray, actual type: {type(mask)}"
+            )
+            assert mask.dtype == np.int8, (
+                f"The expected dtype of the sample mask is np.int8, actual dtype: {mask.dtype}"
+            )
+            assert mask.shape == (self.n,), (
+                f"The expected shape of the sample mask is {(int(self.n),)}, actual shape: {mask.shape}"
+            )
+            valid_action_mask = mask == 1
+            assert np.all(np.logical_or(mask == 0, valid_action_mask)), (
+                f"All values of the sample mask should be 0 or 1, actual values: {mask}"
+            )
+            if np.any(valid_action_mask):
+                return self.start + self.dtype.type(
+                    self.np_random.choice(np.where(valid_action_mask)[0])
+                )
+            return self.start
 
         if probability is not None:
             assert isinstance(probability, np.ndarray), (
-                f"Expects probability to be np.ndarray, actual type: {type(probability)}"
+                f"The expected type of the sample probability is np.ndarray, actual type: {type(probability)}"
             )
-            assert probability.shape == (int(self.n),), (
-                f"Expects probability shape ({self.n},), actual shape: {probability.shape}"
+            assert probability.dtype == np.float64, (
+                f"The expected dtype of the sample probability is np.float64, actual dtype: {probability.dtype}"
             )
-            assert np.all(probability >= 0), f"Probabilities must be non-negative, actual values: {probability}"
-            assert np.isclose(np.sum(probability), 1.0), (
-                f"Probabilities must sum to 1, actual sum: {np.sum(probability)}"
+            assert probability.shape == (self.n,), (
+                f"The expected shape of the sample probability is {(int(self.n),)}, actual shape: {probability.shape}"
             )
-            return self.start + self.np_random.choice(int(self.n), p=probability)
+            assert np.all(np.logical_and(probability >= 0, probability <= 1)), (
+                f"All values of the sample probability should be between 0 and 1, actual values: {probability}"
+            )
+            assert np.isclose(np.sum(probability), 1), (
+                f"The sum of the sample probability should be equal to 1, actual sum: {np.sum(probability)}"
+            )
+            return self.start + self.np_random.choice(
+                np.arange(self.n, dtype=self.dtype), p=probability
+            )
 
-        return self.start + self.np_random.integers(self.n)
+        return self.start + self.np_random.integers(self.n, dtype=self.dtype.type)
 
     def sample_jax(self, key, batch_shape: tuple[int, ...] = ()):
         import jax
@@ -73,18 +100,22 @@ class Discrete(Space[np.int64]):
         )
 
     def contains(self, x: Any) -> bool:
+        """Membership, including the reference's dtype-castability rule
+        (reference discrete.py:155-171): an integer scalar is a member only
+        if its value is in range AND its dtype safely casts to the space's."""
         if isinstance(x, int):
-            as_int64 = np.int64(x)
+            as_np = self.dtype.type(x)
         elif (
             hasattr(x, "dtype")
             and np.issubdtype(x.dtype, np.integer)
             and getattr(x, "shape", None) == ()
         ):
             # covers numpy scalars/0-d arrays and device (jax) scalars
-            as_int64 = np.int64(x)
+            as_np = x
         else:
             return False
-        return bool(self.start <= as_int64 < self.start + self.n)
+        value_is_in = bool(self.start <= as_np < self.start + self.n)
+        return value_is_in and np.can_cast(as_np.dtype, self.dtype)
 
     def contains_jax(self, x):
         import jax.numpy as jnp
@@ -92,12 +123,20 @@ class Discrete(Space[np.int64]):
         return (x >= self.start) & (x < self.start + self.n)
 
     def __repr__(self) -> str:
+        info = [str(self.n)]
         if self.start != 0:
-            return f"Discrete({self.n}, start={self.start})"
-        return f"Discrete({self.n})"
+            info.append(f"start={self.start}")
+        if self.dtype != np.int64:
+            info.append(f"dtype={self.dtype}")
+        return f"Discrete({', '.join(info)})"
 
     def __eq__(self, other: Any) -> bool:
-        return isinstance(other, Discrete) and self.n == other.n and self.start == other.start
+        return (
+            isinstance(other, Discrete)
+            and self.n == other.n
+            and self.start == other.start
+            and self.dtype == other.dtype
+        )
 
     def __setstate__(self, state: Iterable[tuple[str, Any]] | dict):
         super().__setstate__(state)
@@ -108,4 +147,4 @@ class Discrete(Space[np.int64]):
         return [int(x) for x in sample_n]
 
     def from_jsonable(self, sample_n):
-        return [np.int64(x) for x in sample_n]
+        return [self.dtype.type(x) for x in sample_n]

@@ -43,7 +43,9 @@ class MultiBinary(Space[np.ndarray]):
         """Uniform 0/1 draws; with ``mask`` entries 0/1 force that value and 2
         samples randomly; with ``probability`` each entry is P(value == 1)."""
         if mask is not None and probability is not None:
-            raise ValueError("Only one of `mask` or `probability` can be provided")
+            raise ValueError(
+                f"Only one of `mask` or `probability` can be provided, actual values: mask={mask}, probability={probability}"
+            )
 
         if mask is not None:
             assert isinstance(mask, np.ndarray), f"Expects mask to be np.ndarray, actual type: {type(mask)}"

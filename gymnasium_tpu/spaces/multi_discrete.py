@@ -49,7 +49,9 @@ class MultiDiscrete(Space[np.ndarray]):
         """Uniform sample; ``mask``/``probability`` are nested tuples mirroring
         the nvec structure, one per-component array each."""
         if mask is not None and probability is not None:
-            raise ValueError("Only one of `mask` or `probability` can be provided")
+            raise ValueError(
+                f"Only one of `mask` or `probability` can be provided, actual values: mask={mask}, probability={probability}"
+            )
 
         if mask is not None:
             return self._masked_sample(mask, self.nvec, self.start, is_probability=False)
@@ -132,7 +134,7 @@ class MultiDiscrete(Space[np.ndarray]):
         nvec = self.nvec[index]
         start = self.start[index]
         if nvec.ndim == 0:
-            subspace = Discrete(int(nvec), start=int(start))
+            subspace = Discrete(int(nvec), start=int(start), dtype=self.dtype)
         else:
             subspace = MultiDiscrete(nvec, self.dtype, start=start)
         subspace.np_random.bit_generator.state = self.np_random.bit_generator.state
@@ -146,6 +148,7 @@ class MultiDiscrete(Space[np.ndarray]):
     def __eq__(self, other: Any) -> bool:
         return (
             isinstance(other, MultiDiscrete)
+            and self.dtype == other.dtype
             and self.shape == other.shape
             and np.all(self.nvec == other.nvec)
             and np.all(self.start == other.start)

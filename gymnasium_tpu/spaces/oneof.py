@@ -41,6 +41,9 @@ class OneOf(Space[Any]):
         if isinstance(seed, int):
             super_seed = super().seed(seed)
             subseeds = self.np_random.integers(np.iinfo(np.int32).max, size=len(self.spaces))
+            # re-seed so int- and tuple-seeding leave the PRNG in the same
+            # state (reference oneof.py:84-85)
+            super().seed(seed)
             return (super_seed, *(space.seed(int(s)) for space, s in zip(self.spaces, subseeds)))
         if isinstance(seed, (list, tuple)):
             assert len(seed) == len(self.spaces) + 1, (
@@ -50,7 +53,7 @@ class OneOf(Space[Any]):
                 super().seed(seed[0]),
                 *(space.seed(s) for space, s in zip(self.spaces, seed[1:])),
             )
-        raise TypeError(f"Expected None, int, or a list/tuple of ints, actual type: {type(seed)}")
+        raise TypeError(f"Expected None, int, or tuple of ints, actual type: {type(seed)}")
 
     def sample(
         self,
@@ -58,28 +61,40 @@ class OneOf(Space[Any]):
         probability: tuple[Any | None, ...] | None = None,
     ) -> tuple[np.int64, Any]:
         if mask is not None and probability is not None:
-            raise ValueError("Only one of `mask` or `probability` can be provided")
+            raise ValueError(
+                f"Only one of `mask` or `probability` can be provided, actual values: mask={mask}, probability={probability}"
+            )
         idx = self.np_random.integers(0, len(self.spaces))
         subspace = self.spaces[idx]
         if mask is not None:
-            assert isinstance(mask, tuple) and len(mask) == len(self.spaces)
+            assert isinstance(mask, tuple), (
+                f"Expected type of `mask` is tuple, actual type: {type(mask)}"
+            )
+            assert len(mask) == len(self.spaces), (
+                f"Expected length of `mask` is {len(self.spaces)}, actual length: {len(mask)}"
+            )
             sample = subspace.sample(mask=mask[idx])
         elif probability is not None:
-            assert isinstance(probability, tuple) and len(probability) == len(self.spaces)
+            assert isinstance(probability, tuple), (
+                f"Expected type of `probability` is tuple, actual type: {type(probability)}"
+            )
+            assert len(probability) == len(self.spaces), (
+                f"Expected length of `probability` is {len(self.spaces)}, actual length: {len(probability)}"
+            )
             sample = subspace.sample(probability=probability[idx])
         else:
             sample = subspace.sample()
         return np.int64(idx), sample
 
     def contains(self, x: Any) -> bool:
-        if not isinstance(x, tuple) or len(x) != 2:
-            return False
-        idx, sample = x
-        try:
-            idx = int(idx)
-        except (TypeError, ValueError):
-            return False
-        return 0 <= idx < len(self.spaces) and self.spaces[idx].contains(sample)
+        # index must be a python int or np.int64 (reference oneof.py:154-163)
+        return (
+            isinstance(x, tuple)
+            and len(x) == 2
+            and isinstance(x[0], (np.int64, int))
+            and 0 <= x[0] < len(self.spaces)
+            and self.spaces[x[0]].contains(x[1])
+        )
 
     def __getitem__(self, index: int) -> Space[Any]:
         return self.spaces[index]

@@ -42,6 +42,9 @@ class Sequence(Space[Union[typing.Tuple[Any, ...], Any]]):
         if isinstance(seed, int):
             super_seed = super().seed(seed)
             feature_seed = int(self.np_random.integers(np.iinfo(np.int32).max))
+            # re-seed so int- and tuple-seeding leave the PRNG in the same
+            # state (reference sequence.py:83-84)
+            super().seed(seed)
             return super_seed, self.feature_space.seed(feature_seed)
         if isinstance(seed, tuple):
             assert len(seed) == 2
@@ -52,17 +55,27 @@ class Sequence(Space[Union[typing.Tuple[Any, ...], Any]]):
     def is_np_flattenable(self) -> bool:
         return False
 
-    def _sample_length(self, length_mask) -> int:
+    def _sample_length(self, length_mask, mask_type=None) -> int:
         if length_mask is not None:
             if np.issubdtype(type(length_mask), np.integer):
-                assert 0 <= length_mask, f"Expects the length mask to be greater than or equal to zero, actual value: {length_mask}"
+                assert 0 <= length_mask, (
+                    f"Expects the length mask of `{mask_type}` to be greater than or equal to zero, actual value: {length_mask}"
+                )
                 return int(length_mask)
             if isinstance(length_mask, np.ndarray):
-                assert len(length_mask.shape) == 1, f"Expects the shape of the length mask to be 1-dimensional, actual shape: {length_mask.shape}"
-                assert np.all(0 <= length_mask), f"Expects all values in the length_mask to be greater than or equal to zero, actual values: {length_mask}"
-                assert np.issubdtype(length_mask.dtype, np.integer), f"Expects the length mask array to have dtype to be an numpy integer, actual type: {length_mask.dtype}"
+                assert len(length_mask.shape) == 1, (
+                    f"Expects the shape of the length mask of `{mask_type}` to be 1-dimensional, actual shape: {length_mask.shape}"
+                )
+                assert np.all(0 <= length_mask), (
+                    f"Expects all values in the length_mask of `{mask_type}` to be greater than or equal to zero, actual values: {length_mask}"
+                )
+                assert np.issubdtype(length_mask.dtype, np.integer), (
+                    f"Expects the length mask array of `{mask_type}` to have dtype of np.integer, actual type: {length_mask.dtype}"
+                )
                 return int(self.np_random.choice(length_mask))
-            raise TypeError(f"Expects the type of length_mask to be an integer or a np.ndarray, actual type: {type(length_mask)}")
+            raise TypeError(
+                f"Expects the type of length_mask of `{mask_type}` to be an integer or a np.ndarray, actual type: {type(length_mask)}"
+            )
         # Geometric-ish default so sampled lengths stay small but unbounded.
         return int(self.np_random.geometric(0.25))
 
@@ -72,7 +85,9 @@ class Sequence(Space[Union[typing.Tuple[Any, ...], Any]]):
         probability: None | tuple[Any, Any] = None,
     ) -> tuple[Any, ...] | Any:
         if mask is not None and probability is not None:
-            raise ValueError("Only one of `mask` or `probability` can be provided")
+            raise ValueError(
+                f"Only one of `mask` or `probability` can be provided, actual values: mask={mask}, probability={probability}"
+            )
         length_mask, feature_mask = (None, None)
         use_probability = probability is not None
         chosen = probability if use_probability else mask
@@ -82,7 +97,7 @@ class Sequence(Space[Union[typing.Tuple[Any, ...], Any]]):
             )
             length_mask, feature_mask = chosen
 
-        length = self._sample_length(length_mask)
+        length = self._sample_length(length_mask, "probability" if use_probability else "mask")
         if use_probability:
             sampled = tuple(
                 self.feature_space.sample(probability=feature_mask) for _ in range(length)

@@ -82,7 +82,9 @@ class Text(Space[str]):
     ) -> str:
         """Sample a string; ``mask``/``probability`` is ``(length, charmask)``."""
         if mask is not None and probability is not None:
-            raise ValueError("Only one of `mask` or `probability` can be provided")
+            raise ValueError(
+                f"Only one of `mask` or `probability` can be provided, actual values: mask={mask}, probability={probability}"
+            )
 
         length = None
         charlist_mask: np.ndarray | None = None
@@ -104,8 +106,12 @@ class Text(Space[str]):
                     f"Expects mask shape ({len(self._char_list)},), actual {charlist_mask.shape}"
                 )
                 if is_probability:
-                    assert np.all(charlist_mask >= 0)
-                    assert np.isclose(np.sum(charlist_mask), 1.0)
+                    assert np.all(np.logical_and(charlist_mask >= 0, charlist_mask <= 1)), (
+                        f"Expects all values in the probability mask to be between 0 and 1, actual values: {charlist_mask}"
+                    )
+                    assert np.isclose(np.sum(charlist_mask), 1.0), (
+                        f"Expects the sum of the probability mask to be 1, actual sum: {np.sum(charlist_mask)}"
+                    )
                 else:
                     assert charlist_mask.dtype == np.int8
                     assert np.all((charlist_mask == 0) | (charlist_mask == 1))
@@ -123,7 +129,7 @@ class Text(Space[str]):
                 if self.min_length == 0:
                     return ""
                 raise ValueError(
-                    "Trying to sample with a minimum length > 0 while the character mask is all zero"
+                    f"Trying to sample with a minimum length > 0 (actual minimum length={self.min_length}) but the character mask is all zero meaning that no character could be sampled."
                 )
             indices = self.np_random.choice(valid, size=length)
 

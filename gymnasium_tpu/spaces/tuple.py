@@ -58,12 +58,24 @@ class Tuple(Space[typing.Tuple[Any, ...]], collections.abc.Sequence):
         probability: tuple[Any | None, ...] | None = None,
     ) -> tuple[Any, ...]:
         if mask is not None and probability is not None:
-            raise ValueError("Only one of `mask` or `probability` can be provided")
+            raise ValueError(
+                f"Only one of `mask` or `probability` can be provided, actual values: mask={mask}, probability={probability}"
+            )
         if mask is not None:
-            assert isinstance(mask, tuple) and len(mask) == len(self.spaces)
+            assert isinstance(mask, tuple), (
+                f"Expected type of `mask` to be tuple, actual type: {type(mask)}"
+            )
+            assert len(mask) == len(self.spaces), (
+                f"Expected length of `mask` to be {len(self.spaces)}, actual length: {len(mask)}"
+            )
             return tuple(space.sample(mask=m) for space, m in zip(self.spaces, mask))
         if probability is not None:
-            assert isinstance(probability, tuple) and len(probability) == len(self.spaces)
+            assert isinstance(probability, tuple), (
+                f"Expected type of `probability` to be tuple, actual type: {type(probability)}"
+            )
+            assert len(probability) == len(self.spaces), (
+                f"Expected length of `probability` to be {len(self.spaces)}, actual length: {len(probability)}"
+            )
             return tuple(space.sample(probability=p) for space, p in zip(self.spaces, probability))
         return tuple(space.sample() for space in self.spaces)
 

@@ -40,8 +40,14 @@ def flatdim(space: Space[Any]) -> int:
     """Number of dimensions a flattened equivalent of ``space`` has.
 
     Raises ``ValueError`` for spaces whose flat size is not fixed
-    (``Graph``, ``Sequence``, non-flattenable composites).
+    (``Graph``, ``Sequence``, non-flattenable composites),
+    ``NotImplementedError`` for unknown space types — matching the reference
+    (gymnasium/spaces/utils.py:35-46).
     """
+    if isinstance(space, Space) and not space.is_np_flattenable:
+        raise ValueError(
+            f"{space} cannot be flattened to a numpy array, probably because it contains a `Graph` or `Sequence` subspace"
+        )
     raise NotImplementedError(f"Unknown space: `{space}`")
 
 
@@ -114,10 +120,11 @@ def _flatten_discrete(space: Discrete, x) -> np.ndarray:
 
 @flatten.register(MultiDiscrete)
 def _flatten_multidiscrete(space: MultiDiscrete, x) -> np.ndarray:
-    offsets = np.zeros(space.nvec.size + 1, dtype=space.dtype)
+    # offsets accumulate in int_ — small space dtypes (int8) overflow on cumsum
+    offsets = np.zeros(space.nvec.size + 1, dtype=np.int_)
     offsets[1:] = np.cumsum(space.nvec.flatten())
     onehot = np.zeros((offsets[-1],), dtype=space.dtype)
-    shifted = (np.asarray(x, dtype=space.dtype) - space.start).flatten()
+    shifted = (np.asarray(x, dtype=np.int_) - space.start).flatten()
     onehot[offsets[:-1] + shifted] = 1
     return onehot
 
@@ -207,12 +214,12 @@ def _unflatten_discrete(space: Discrete, x: np.ndarray):
     nonzero = np.nonzero(x)[0]
     if len(nonzero) == 0:
         raise ValueError(f"{x} is not a valid one-hot encoded vector; no positions are 1")
-    return space.start + np.int64(nonzero[0])
+    return space.start + space.dtype.type(nonzero[0])
 
 
 @unflatten.register(MultiDiscrete)
 def _unflatten_multidiscrete(space: MultiDiscrete, x: np.ndarray):
-    offsets = np.zeros(space.nvec.size + 1, dtype=space.dtype)
+    offsets = np.zeros(space.nvec.size + 1, dtype=np.int_)
     offsets[1:] = np.cumsum(space.nvec.flatten())
     nonzero = np.nonzero(x)[0]
     if len(nonzero) != space.nvec.size:
@@ -374,18 +381,41 @@ def _flatten_space_oneof(space: OneOf) -> Box:
 
 
 def is_space_dtype_shape_equiv(space_1: Space, space_2: Space) -> bool:
-    """True when two spaces have identical dtype and shape structure
-    (reference spaces/utils.py:583)."""
+    """True when two spaces share dtype + shape structure, per-type
+    (reference spaces/utils.py:583-680; vector envs use this to decide
+    whether differing sub-env spaces can share one batch buffer)."""
     if type(space_1) is not type(space_2):
         return False
+    if isinstance(space_1, (Box, Discrete, MultiDiscrete, MultiBinary)):
+        return space_1.shape == space_2.shape and space_1.dtype == space_2.dtype
+    if isinstance(space_1, Text):
+        return (
+            space_1.max_length == space_2.max_length
+            and space_1.character_set == space_2.character_set
+        )
     if isinstance(space_1, Dict):
-        assert isinstance(space_2, Dict)
         return space_1.keys() == space_2.keys() and all(
-            is_space_dtype_shape_equiv(space_1[key], space_2[key]) for key in space_1.keys()
+            is_space_dtype_shape_equiv(space_1[key], space_2[key])
+            for key in space_1.keys()
         )
-    if isinstance(space_1, Tuple):
-        assert isinstance(space_2, Tuple)
+    if isinstance(space_1, (Tuple, OneOf)):
         return len(space_1) == len(space_2) and all(
-            is_space_dtype_shape_equiv(a, b) for a, b in zip(space_1.spaces, space_2.spaces)
+            is_space_dtype_shape_equiv(a, b)
+            for a, b in zip(space_1.spaces, space_2.spaces)
         )
-    return space_1.shape == space_2.shape and space_1.dtype == space_2.dtype
+    if isinstance(space_1, Graph):
+        return is_space_dtype_shape_equiv(space_1.node_space, space_2.node_space) and (
+            (space_1.edge_space is None and space_2.edge_space is None)
+            or (
+                space_1.edge_space is not None
+                and space_2.edge_space is not None
+                and is_space_dtype_shape_equiv(space_1.edge_space, space_2.edge_space)
+            )
+        )
+    if isinstance(space_1, Sequence):
+        return space_1.stack is space_2.stack and is_space_dtype_shape_equiv(
+            space_1.feature_space, space_2.feature_space
+        )
+    raise NotImplementedError(
+        "`check_dtype_shape_equivalence` doesn't support Generic Gymnasium Spaces, "
+    )

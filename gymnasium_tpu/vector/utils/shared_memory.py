@@ -131,3 +131,76 @@ def _write_tuple_to_shared_memory(space: Tuple, index: int, values, shared_memor
 def _write_dict_to_shared_memory(space: Dict, index: int, values, shared_memory):
     for key, subspace in space.items():
         write_to_shared_memory(subspace, index, values[key], shared_memory[key])
+
+
+# --- variable/tagged spaces (reference shared_memory.py:90-106, 171-205, 272-290)
+
+
+from gymnasium_tpu.spaces import Graph, OneOf, Sequence, Text  # noqa: E402
+from gymnasium_tpu.spaces.utils import flatten  # noqa: E402
+
+
+@create_shared_memory.register(Text)
+def _create_text_shared_memory(space: Text, n: int = 1, ctx=mp):
+    return ctx.Array(np.dtype(np.int32).char, n * space.max_length)
+
+
+@create_shared_memory.register(OneOf)
+def _create_oneof_shared_memory(space: OneOf, n: int = 1, ctx=mp):
+    return (ctx.Array(np.dtype(np.int64).char, n),) + tuple(
+        create_shared_memory(subspace, n=n, ctx=ctx) for subspace in space.spaces
+    )
+
+
+@create_shared_memory.register(Graph)
+@create_shared_memory.register(Sequence)
+def _create_dynamic_shared_memory(space, n: int = 1, ctx=mp):
+    raise TypeError(
+        f"As {space} has a dynamic shape so its not possible to make a static shared memory. For `AsyncVectorEnv`, disable `shared_memory`."
+    )
+
+
+@read_from_shared_memory.register(Text)
+def _read_text_from_shared_memory(space: Text, shared_memory, n: int = 1):
+    data = np.frombuffer(shared_memory.get_obj(), dtype=np.int32).reshape(
+        (n, space.max_length)
+    )
+    return tuple(
+        "".join(
+            space.character_list[val]
+            for val in values
+            if val < len(space.character_set)
+        )
+        for values in data
+    )
+
+
+@read_from_shared_memory.register(OneOf)
+def _read_oneof_from_shared_memory(space: OneOf, shared_memory, n: int = 1):
+    sample_indexes = np.frombuffer(shared_memory[0].get_obj(), dtype=np.int64)
+    subspace_samples = tuple(
+        read_from_shared_memory(subspace, memory, n=n)
+        for memory, subspace in zip(shared_memory[1:], space.spaces)
+    )
+    return tuple(
+        (index, subspace_samples[index][env])
+        for env, index in enumerate(sample_indexes)
+    )
+
+
+@write_to_shared_memory.register(Text)
+def _write_text_to_shared_memory(space: Text, index: int, values: str, shared_memory):
+    size = space.max_length
+    destination = np.frombuffer(shared_memory.get_obj(), dtype=np.int32)
+    np.copyto(destination[index * size : (index + 1) * size], flatten(space, values))
+
+
+@write_to_shared_memory.register(OneOf)
+def _write_oneof_to_shared_memory(space: OneOf, index: int, values, shared_memory):
+    subspace_idx, space_value = values
+    destination = np.frombuffer(shared_memory[0].get_obj(), dtype=np.int64)
+    np.copyto(destination[index : index + 1], subspace_idx)
+    # only the chosen subspace's memory is written; others may hold stale data
+    write_to_shared_memory(
+        space.spaces[int(subspace_idx)], index, space_value, shared_memory[1 + int(subspace_idx)]
+    )
