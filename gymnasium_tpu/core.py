@@ -206,8 +206,18 @@ class Wrapper(Env[WrapperObsType, WrapperActType], Generic[WrapperObsType, Wrapp
                     kwargs=None,
                 )
 
-            env_spec = deepcopy(env_spec)
-            env_spec.additional_wrappers += (wrapper_spec,)
+            # deepcopy can fail on unpicklable user kwargs — warn and return
+            # None rather than raising (reference core.py:380-388)
+            try:
+                env_spec = deepcopy(env_spec)
+                env_spec.additional_wrappers += (wrapper_spec,)
+            except Exception as e:
+                import gymnasium_tpu.logger as logger
+
+                logger.warn(
+                    f"An exception occurred ({e}) while copying the environment spec={env_spec}"
+                )
+                return None
         self._cached_spec = env_spec
         return env_spec
 
@@ -222,39 +232,31 @@ class Wrapper(Env[WrapperObsType, WrapperActType], Generic[WrapperObsType, Wrapp
             kwargs=kwargs,
         )
 
-    # -- delegation --------------------------------------------------------
-
-    def __getattr__(self, name: str) -> Any:
-        if name == "env" or name.startswith("_"):
-            raise AttributeError(f"accessing private attribute '{name}' is prohibited")
-        import gymnasium_tpu.logger as logger
-
-        logger.warn(
-            f"env.{name} to get variables from other wrappers is deprecated and will be "
-            f"removed; use `env.unwrapped.{name}` or `env.get_wrapper_attr('{name}')`."
-        )
-        return getattr(self.env, name)
+    # -- wrapper-stack attribute access -------------------------------------
+    # NOTE: deliberately NO `__getattr__` forwarding (reference core.py:404-453
+    # dropped it in 1.x): a plain `wrapper.attr` miss raises AttributeError and
+    # the `_np_random` property below raises its redirect message un-masked.
 
     def has_wrapper_attr(self, name: str) -> bool:
         """Search the wrapper stack for attribute ``name``."""
-        if name in self.__dir__():
+        if hasattr(self, name):
             return True
         return self.env.has_wrapper_attr(name)
 
     def get_wrapper_attr(self, name: str) -> Any:
         """Get ``name`` from the first wrapper (outside-in) that has it."""
-        if name in self.__dir__():
+        if hasattr(self, name):
             return getattr(self, name)
         try:
             return self.env.get_wrapper_attr(name)
         except AttributeError as e:
             raise AttributeError(
-                f"wrapper {type(self).__name__} has no attribute {name!r}"
+                f"wrapper {self.class_name()} has no attribute {name!r}"
             ) from e
 
     def set_wrapper_attr(self, name: str, value: Any, *, force: bool = True) -> bool:
         """Set ``name`` on the first wrapper that already has it (or here)."""
-        if name in self.__dir__():
+        if hasattr(self, name):
             setattr(self, name, value)
             return True
         set_on_inner = self.env.set_wrapper_attr(name, value, force=False)
@@ -314,7 +316,7 @@ class Wrapper(Env[WrapperObsType, WrapperActType], Generic[WrapperObsType, Wrapp
     @property
     def _np_random(self):
         raise AttributeError(
-            "Can't access `_np_random` of a wrapper, use `self.unwrapped._np_random` or `self.np_random`."
+            "Can't access `_np_random` of a wrapper, use `.unwrapped._np_random` or `.np_random`."
         )
 
     @property

@@ -570,3 +570,16 @@ class BipedalWalkerFunctional(FuncEnv):
 
     def terminal(self, state, rng, params: Any = None):
         return state["done"]
+
+
+class BipedalWalkerHardcore:
+    """Construction guard (reference box2d/bipedal_walker.py:774-781): the
+    hardcore variant is made via ``gym.make("BipedalWalker-v3", hardcore=True)``."""
+
+    def __init__(self):
+        raise gym.error.Error(
+            "Error initializing BipedalWalkerHardcore Environment.\n"
+            "Currently, we do not support initializing this mode of environment by calling the class directly.\n"
+            "To use this environment, instead create it by specifying the hardcore keyword in gym.make, i.e.\n"
+            'gym.make("BipedalWalker-v3", hardcore=True)'
+        )

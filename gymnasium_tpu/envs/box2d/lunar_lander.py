@@ -261,3 +261,16 @@ class LunarLanderContinuousFunctional(LunarLanderFunctional):
     """Continuous-action LunarLander."""
 
     continuous = True
+
+
+class LunarLanderContinuous:
+    """Construction guard (reference box2d/lunar_lander.py:872-879): the
+    continuous variant is made via ``gym.make("LunarLander-v3", continuous=True)``."""
+
+    def __init__(self):
+        raise gym.error.Error(
+            "Error initializing LunarLanderContinuous Environment.\n"
+            "Currently, we do not support initializing this mode of environment by calling the class directly.\n"
+            "To use this environment, instead create it by specifying the continuous keyword in gym.make, i.e.\n"
+            'gym.make("LunarLander-v3", continuous=True)'
+        )

@@ -81,3 +81,39 @@ class CartPoleFunctional(FuncEnv):
 
     def render_close(self, render_state) -> None:
         pass
+
+
+from gymnasium_tpu.envs.functional_jax_env import FunctionalJaxEnv  # noqa: E402
+from gymnasium_tpu.vector.jax_vector_env import JaxVectorEnv  # noqa: E402
+
+
+class CartPoleJaxEnv(FunctionalJaxEnv):
+    """Stateful JAX CartPole (reference phys2d/cartpole.py:255-272)."""
+
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 50, "jax": True}
+
+    def __init__(self, render_mode: str | None = None, **kwargs: Any):
+        super().__init__(
+            CartPoleFunctional(kwargs or None),
+            metadata=self.metadata,
+            render_mode=render_mode,
+        )
+
+
+class CartPoleJaxVectorEnv(JaxVectorEnv):
+    """Vectorized JAX CartPole (reference phys2d/cartpole.py:275-311)."""
+
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 50, "jax": True}
+
+    def __init__(
+        self,
+        num_envs: int,
+        render_mode: str | None = None,
+        max_episode_steps: int = 200,
+        **kwargs: Any,
+    ):
+        super().__init__(
+            CartPoleFunctional(kwargs or None),
+            num_envs=num_envs,
+            max_episode_steps=max_episode_steps,
+        )

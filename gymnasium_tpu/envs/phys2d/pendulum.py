@@ -90,3 +90,39 @@ class PendulumFunctional(FuncEnv):
 
     def render_close(self, render_state) -> None:
         pass
+
+
+from gymnasium_tpu.envs.functional_jax_env import FunctionalJaxEnv  # noqa: E402
+from gymnasium_tpu.vector.jax_vector_env import JaxVectorEnv  # noqa: E402
+
+
+class PendulumJaxEnv(FunctionalJaxEnv):
+    """Stateful JAX Pendulum (reference phys2d/pendulum.py:228-252)."""
+
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 30, "jax": True}
+
+    def __init__(self, render_mode: str | None = None, **kwargs: Any):
+        super().__init__(
+            PendulumFunctional(kwargs or None),
+            metadata=self.metadata,
+            render_mode=render_mode,
+        )
+
+
+class PendulumJaxVectorEnv(JaxVectorEnv):
+    """Vectorized JAX Pendulum (reference phys2d/pendulum.py:255-290)."""
+
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 30, "jax": True}
+
+    def __init__(
+        self,
+        num_envs: int,
+        render_mode: str | None = None,
+        max_episode_steps: int = 200,
+        **kwargs: Any,
+    ):
+        super().__init__(
+            PendulumFunctional(kwargs or None),
+            num_envs=num_envs,
+            max_episode_steps=max_episode_steps,
+        )

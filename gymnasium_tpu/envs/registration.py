@@ -362,6 +362,42 @@ def register(
         ns_id = ns
 
     full_env_id = get_env_id(ns_id, name, version)
+
+    # versioned/unversioned conflict checks (reference registration.py:430-469)
+    latest_versioned_spec = max(
+        (
+            env_spec
+            for env_spec in registry.values()
+            if env_spec.namespace == ns_id
+            and env_spec.name == name
+            and env_spec.version is not None
+        ),
+        key=lambda spec_: int(spec_.version),
+        default=None,
+    )
+    unversioned_spec = next(
+        (
+            env_spec
+            for env_spec in registry.values()
+            if env_spec.namespace == ns_id
+            and env_spec.name == name
+            and env_spec.version is None
+        ),
+        None,
+    )
+    if unversioned_spec is not None and version is not None:
+        raise error.RegistrationError(
+            "Can't register the versioned environment "
+            f"`{full_env_id}` when the unversioned environment "
+            f"`{unversioned_spec.id}` of the same name already exists."
+        )
+    elif latest_versioned_spec is not None and version is None:
+        raise error.RegistrationError(
+            f"Can't register the unversioned environment `{full_env_id}` when the versioned environment "
+            f"`{latest_versioned_spec.id}` of the same name already exists. Note: the default behavior is "
+            "that `gym.make` with the unversioned environment will return the latest versioned environment"
+        )
+
     if full_env_id in registry:
         logger.warn(f"Overriding environment {full_env_id} already in registry.")
 
@@ -463,6 +499,24 @@ def make(
         jax_entry_point=env_spec.jax_entry_point,
     )
 
+    # entry points may return an already-wrapped env; those wrappers must
+    # prefix-match the spec's additional_wrappers (reference :780-797)
+    assert env.spec is not None
+    num_prior_wrappers = len(env.spec.additional_wrappers)
+    if (
+        num_prior_wrappers <= len(env_spec.additional_wrappers)
+        and env_spec.additional_wrappers[:num_prior_wrappers]
+        != env.spec.additional_wrappers
+    ):
+        for env_spec_wrapper_spec, recreated_wrapper_spec in zip(
+            env_spec.additional_wrappers[:num_prior_wrappers],
+            env.spec.additional_wrappers,
+            strict=True,
+        ):
+            raise ValueError(
+                f"The environment's wrapper spec {recreated_wrapper_spec} is different from the saved `EnvSpec` additional wrapper {env_spec_wrapper_spec}"
+            )
+
     # wrapper onion, inside-out (reference registration.py:798-827)
     from gymnasium_tpu.wrappers.common import OrderEnforcing, PassiveEnvChecker, TimeLimit
 
@@ -472,16 +526,18 @@ def make(
         env = PassiveEnvChecker(env)
     if env_spec.order_enforce:
         env = OrderEnforcing(env)
-    if max_episode_steps is None:
-        max_episode_steps = env_spec.max_episode_steps
-    if max_episode_steps is not None:
-        env = TimeLimit(env, max_episode_steps)
+    # max_episode_steps == -1 suppresses the TimeLimit wrapper entirely
+    # (reference registration.py:809-813)
+    if max_episode_steps != -1:
+        if max_episode_steps is not None:
+            env = TimeLimit(env, max_episode_steps)
+        elif env_spec.max_episode_steps is not None:
+            env = TimeLimit(env, env_spec.max_episode_steps)
 
-    for wrapper_spec in env_spec.additional_wrappers:
+    for wrapper_spec in env_spec.additional_wrappers[num_prior_wrappers:]:
         if wrapper_spec.kwargs is None:
-            raise error.Error(
-                f"{wrapper_spec.name} wrapper does not inherit from `gymnasium_tpu.utils.RecordConstructorArgs`, "
-                "therefore, the wrapper cannot be recreated."
+            raise ValueError(
+                f"{wrapper_spec.name} wrapper does not inherit from `gymnasium.utils.RecordConstructorArgs`, therefore, the wrapper cannot be recreated."
             )
         env = load_env_creator(wrapper_spec.entry_point)(env=env, **wrapper_spec.kwargs)
 
@@ -517,10 +573,27 @@ def make_vec(
 
     if isinstance(id, EnvSpec):
         env_spec = id
-    else:
+    elif isinstance(id, str):
         env_spec = _find_spec(id)
+    else:
+        raise error.Error(f"Invalid id type: {type(id)}. Expected `str` or `EnvSpec`")
 
-    env_spec_kwargs = copy.deepcopy(env_spec.kwargs)
+    env_spec = copy.deepcopy(env_spec)
+    env_spec_kwargs = env_spec.kwargs
+    # vectorization parameters recorded in a spec by a previous make_vec are
+    # restored here so `make_vec(envs.spec)` roundtrips
+    # (reference registration.py:873-881).
+    env_spec.kwargs = dict()
+    num_envs = env_spec_kwargs.pop("num_envs", num_envs)
+    vectorization_mode = env_spec_kwargs.pop("vectorization_mode", vectorization_mode)
+    if vector_kwargs is None or len(vector_kwargs) == 0:
+        vector_kwargs = env_spec_kwargs.pop("vector_kwargs", vector_kwargs)
+    else:
+        env_spec_kwargs.pop("vector_kwargs", None)
+    if wrappers is None or len(wrappers) == 0:
+        wrappers = env_spec_kwargs.pop("wrappers", wrappers)
+    else:
+        env_spec_kwargs.pop("wrappers", None)
     env_spec_kwargs.update(kwargs)
     num_envs = int(num_envs)
 
@@ -557,29 +630,48 @@ def make_vec(
     copied_id = copy.deepcopy(env_spec)
 
     if vectorization_mode == VectorizeMode.SYNC:
+        if env_spec.entry_point is None:
+            raise error.Error(
+                f"Cannot create vectorized environment for {env_spec.id} because it doesn't have an entry point defined."
+            )
         env = SyncVectorEnv(
             env_fns=(create_single_env for _ in range(num_envs)),
             **vector_kwargs,
         )
     elif vectorization_mode == VectorizeMode.ASYNC:
+        if env_spec.entry_point is None:
+            raise error.Error(
+                f"Cannot create vectorized environment for {env_spec.id} because it doesn't have an entry point defined."
+            )
         env = AsyncVectorEnv(
             env_fns=[create_single_env for _ in range(num_envs)],
             **vector_kwargs,
         )
     elif vectorization_mode == VectorizeMode.VECTOR_ENTRY_POINT:
+        if len(vector_kwargs) > 0:
+            raise error.Error(
+                f"Custom vector environment can be passed arguments only through kwargs and `vector_kwargs` is not empty ({vector_kwargs})"
+            )
+        elif len(wrappers) > 0:
+            raise error.Error(
+                f"Cannot use `vector_entry_point` vectorization mode with the wrappers argument ({wrappers})."
+            )
+        elif len(env_spec.additional_wrappers) > 0:
+            raise error.Error(
+                f"Cannot use `vector_entry_point` vectorization mode with the additional_wrappers parameter in spec being not empty ({env_spec.additional_wrappers})."
+            )
+
         entry_point = env_spec.vector_entry_point
         if entry_point is None:
-            raise error.Error(f"Cannot create vectorized environment for {env_spec.id} because it doesn't have a vector entry point defined.")
+            raise error.Error(f"Cannot create vectorized environment for {id} because it doesn't have a vector entry point defined.")
         elif callable(entry_point):
             env_creator = entry_point
         else:
             env_creator = load_env_creator(entry_point)
 
-        if env_spec.max_episode_steps is not None and "max_episode_steps" not in vector_kwargs:
-            vector_kwargs["max_episode_steps"] = env_spec.max_episode_steps
-        if len(wrappers) > 0:
-            raise error.Error("Cannot use `wrappers` with vector_entry_point vectorization mode.")
-        env = env_creator(num_envs=num_envs, **env_spec_kwargs, **vector_kwargs)
+        if env_spec.max_episode_steps is not None and "max_episode_steps" not in env_spec_kwargs:
+            env_spec_kwargs["max_episode_steps"] = env_spec.max_episode_steps
+        env = env_creator(num_envs=num_envs, **env_spec_kwargs)
     elif vectorization_mode == VectorizeMode.JAX:
         entry_point = env_spec.jax_entry_point
         if entry_point is None:
@@ -601,7 +693,16 @@ def make_vec(
     else:
         raise error.Error(f"Unknown vectorization mode: {vectorization_mode}")
 
-    copied_id.kwargs = env_spec_kwargs
+    copied_id.kwargs = env_spec_kwargs.copy()
+    # record the vectorization parameters so the spec roundtrips
+    # (reference registration.py:967-976)
+    if num_envs != 1:
+        copied_id.kwargs["num_envs"] = num_envs
+    copied_id.kwargs["vectorization_mode"] = vectorization_mode.value
+    if vector_kwargs is not None and len(vector_kwargs) > 0:
+        copied_id.kwargs["vector_kwargs"] = vector_kwargs
+    if wrappers is not None and len(wrappers) > 0:
+        copied_id.kwargs["wrappers"] = wrappers
     env.unwrapped.spec = copied_id
 
     # autoreset-mode metadata validation (reference registration.py:978-985)
@@ -638,36 +739,39 @@ def pprint_registry(
     if print_registry is None:
         print_registry = registry
 
+    # group env ids by namespace, deriving a pseudo-namespace from the entry
+    # point module path when unset (reference registration.py:1033-1059)
     namespace_envs: dict[str, list[str]] = defaultdict(list)
-    max_justify = 0
+    max_justify = float("-inf")
     for env_spec in print_registry.values():
         ns = env_spec.namespace
-        if ns is None:
-            # determine pseudo-namespace from entry point module
-            if isinstance(env_spec.entry_point, str):
-                ns = env_spec.entry_point.split(".")[0]
+        if ns is None and isinstance(env_spec.entry_point, str):
+            env_entry_point = re.sub(r":\w+", "", env_spec.entry_point)
+            split_entry_point = env_entry_point.split(".")
+            if len(split_entry_point) >= 3:
+                ns = split_entry_point[2]
+            elif len(split_entry_point) > 1:
+                ns = split_entry_point[1]
             else:
-                ns = getattr(env_spec.entry_point, "__module__", "misc").split(".")[0]
+                ns = env_spec.name
         namespace_envs[ns].append(env_spec.id)
-        max_justify = max(max_justify, len(env_spec.id))
+        max_justify = max(max_justify, len(env_spec.name))
 
-    if exclude_namespaces is not None:
-        for ns in exclude_namespaces:
-            namespace_envs.pop(ns, None)
-
-    lines = []
+    output: list[str] = []
     for ns, env_ids in namespace_envs.items():
-        lines.append(f"===== {ns} =====")
-        row = []
-        for i, env_id in enumerate(sorted(env_ids)):
-            row.append(env_id.ljust(max_justify))
-            if (i + 1) % num_cols == 0:
-                lines.append(" ".join(row))
-                row = []
-        if row:
-            lines.append(" ".join(row))
-    output = "\n".join(lines) + "\n"
+        if exclude_namespaces is not None and ns in exclude_namespaces:
+            continue
+
+        namespace_output = f"{'=' * 5} {ns} {'=' * 5}\n"
+        for count, env_id in enumerate(sorted(env_ids), 1):
+            namespace_output += env_id.ljust(max_justify) + " "
+            if count % num_cols == 0:
+                namespace_output = namespace_output.rstrip(" ")
+                if count != len(env_ids):
+                    namespace_output += "\n"
+        output.append(namespace_output.rstrip(" "))
+
     if disable_print:
-        return output
-    print(output)
+        return "\n".join(output)
+    print("\n".join(output))
     return None

@@ -142,3 +142,19 @@ class BlackjackFunctional(FuncEnv):
 
     def terminal(self, state, rng, params: Any = None):
         return state["done"]
+
+
+from gymnasium_tpu.envs.functional_jax_env import FunctionalJaxEnv  # noqa: E402
+
+
+class BlackJackJaxEnv(FunctionalJaxEnv):
+    """Stateful JAX Blackjack (reference tabular/blackjack.py:507-529)."""
+
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 50, "jax": True}
+
+    def __init__(self, render_mode: str | None = None, **kwargs: Any):
+        super().__init__(
+            BlackjackFunctional(kwargs or None),
+            metadata=self.metadata,
+            render_mode=render_mode,
+        )

@@ -17,3 +17,19 @@ class CliffWalkingFunctional(TabularFuncEnv):
         options = dict(options or {})
         is_slippery = options.pop("is_slippery", False)
         super().__init__(build_cliffwalking_model(is_slippery), options)
+
+
+from gymnasium_tpu.envs.functional_jax_env import FunctionalJaxEnv  # noqa: E402
+
+
+class CliffWalkingJaxEnv(FunctionalJaxEnv):
+    """Stateful JAX CliffWalking (reference tabular/cliffwalking.py:360-380)."""
+
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 50, "jax": True}
+
+    def __init__(self, render_mode: str | None = None, **kwargs: Any):
+        super().__init__(
+            CliffWalkingFunctional(kwargs or None),
+            metadata=self.metadata,
+            render_mode=render_mode,
+        )

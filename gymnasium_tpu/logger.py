@@ -69,6 +69,7 @@ def deprecation(msg: str, *args: object) -> None:
 
 
 def error(msg: str, *args: object) -> None:
-    """Emit a red error message to stderr when the level permits."""
+    """Emit a red error through the warnings machinery (reference
+    logger.py:44-47) so callers can capture it programmatically."""
     if min_level <= ERROR:
-        print(colorize(f"ERROR: {msg % args}", "red"), file=sys.stderr)
+        warnings.warn(colorize(f"ERROR: {msg % args}", "red"), stacklevel=3)

@@ -27,54 +27,90 @@ __all__ = [
 ]
 
 
-def _check_box_bounds(space: spaces.Box, is_obs: bool):
-    name = "observation" if is_obs else "action"
-    if np.any(space.low == np.inf):
-        logger.warn(f"A Box {name} space has a low bound of infinity.")
-    if np.any(space.high == -np.inf):
-        logger.warn(f"A Box {name} space has a high bound of -infinity.")
-    if np.any(space.low == space.high):
-        logger.warn(f"A Box {name} space maximum and minimum values are equal.")
-    elif np.any(space.high < space.low):
-        logger.warn(f"A Box {name} space low value is greater than a high value.")
+def _check_box_observation_space(observation_space: spaces.Box):
+    """Box observation sanity checks (reference passive_env_checker.py:20-36;
+    the doubled 'have have' in the high-shape message is theirs)."""
+    assert observation_space.low.shape == observation_space.shape, (
+        f"The Box observation space shape and low shape have different shapes, low shape: {observation_space.low.shape}, box shape: {observation_space.shape}"
+    )
+    assert observation_space.high.shape == observation_space.shape, (
+        f"The Box observation space shape and high shape have have different shapes, high shape: {observation_space.high.shape}, box shape: {observation_space.shape}"
+    )
+
+    if np.any(observation_space.low == observation_space.high):
+        logger.warn("A Box observation space maximum and minimum values are equal.")
+    elif np.any(observation_space.high < observation_space.low):
+        logger.warn("A Box observation space low value is greater than a high value.")
 
 
-def check_space(space: spaces.Space, is_obs: bool, function_type: str):
-    """Check that ``space`` is a valid gymnasium_tpu space."""
-    name = "observation" if is_obs else "action"
+def _check_box_action_space(action_space: spaces.Box):
+    """Box action sanity checks (reference passive_env_checker.py:39-53)."""
+    assert action_space.low.shape == action_space.shape, (
+        f"The Box action space shape and low shape have have different shapes, low shape: {action_space.low.shape}, box shape: {action_space.shape}"
+    )
+    assert action_space.high.shape == action_space.shape, (
+        f"The Box action space shape and high shape have different shapes, high shape: {action_space.high.shape}, box shape: {action_space.shape}"
+    )
+
+    if np.any(action_space.low == action_space.high):
+        logger.warn("A Box action space maximum and minimum values are equal.")
+
+
+def check_space(
+    space: spaces.Space, space_type: str, check_box_space_fn: Callable[[spaces.Box], None]
+):
+    """Check that ``space`` is a valid space (reference passive_env_checker.py:56-102)."""
     if not isinstance(space, spaces.Space):
-        raise AssertionError(
-            f"{name} space does not inherit from `gymnasium_tpu.spaces.Space`, actual type: {type(space)}"
+        if str(space.__class__.__base__) == "<class 'gym.spaces.space.Space'>":
+            raise TypeError(
+                f"Gym is incompatible with Gymnasium, please update the environment {space_type}_space to `{str(space.__class__.__base__).replace('gym', 'gymnasium')}`."
+            )
+        raise TypeError(
+            f"{space_type} space does not inherit from `gymnasium.spaces.Space`, actual type: {type(space)}"
         )
     elif isinstance(space, spaces.Box):
-        _check_box_bounds(space, is_obs)
+        check_box_space_fn(space)
     elif isinstance(space, spaces.Discrete):
-        assert 0 < space.n, f"Discrete {name} space's number of elements must be positive, actual: {space.n}"
+        assert 0 < space.n, (
+            f"Discrete {space_type} space's number of elements must be positive, actual number of elements: {space.n}"
+        )
+        assert space.shape == (), (
+            f"Discrete {space_type} space's shape should be empty, actual shape: {space.shape}"
+        )
     elif isinstance(space, spaces.MultiDiscrete):
-        assert np.all(0 < space.nvec), f"Multi-discrete {name} space's all nvec elements must be greater than 0, actual: {space.nvec}"
+        assert space.shape == space.nvec.shape, (
+            f"Multi-discrete {space_type} space's shape must be equal to the nvec shape, space shape: {space.shape}, nvec shape: {space.nvec.shape}"
+        )
+        assert np.all(0 < space.nvec), (
+            f"Multi-discrete {space_type} space's all nvec elements must be greater than 0, actual nvec: {space.nvec}"
+        )
     elif isinstance(space, spaces.MultiBinary):
-        assert np.all(0 < np.asarray(space.shape)), f"Multi-binary {name} space's all shape elements must be greater than 0, actual: {space.shape}"
+        assert np.all(0 < np.asarray(space.shape)), (
+            f"Multi-binary {space_type} space's all shape elements must be greater than 0, actual shape: {space.shape}"
+        )
     elif isinstance(space, spaces.Tuple):
-        assert 0 < len(space.spaces), f"An empty Tuple {name} space is not allowed."
+        assert 0 < len(space.spaces), f"An empty Tuple {space_type} space is not allowed."
         for subspace in space.spaces:
-            check_space(subspace, is_obs, function_type)
+            check_space(subspace, space_type, check_box_space_fn)
     elif isinstance(space, spaces.Dict):
-        assert 0 < len(space.spaces.keys()), f"An empty Dict {name} space is not allowed."
+        assert 0 < len(space.spaces.keys()), f"An empty Dict {space_type} space is not allowed."
         for subspace in space.values():
-            check_space(subspace, is_obs, function_type)
+            check_space(subspace, space_type, check_box_space_fn)
 
 
-check_observation_space = partial(check_space, is_obs=True, function_type="observation")
-check_action_space = partial(check_space, is_obs=False, function_type="action")
+check_observation_space = partial(
+    check_space, space_type="observation", check_box_space_fn=_check_box_observation_space
+)
+check_action_space = partial(
+    check_space, space_type="action", check_box_space_fn=_check_box_action_space
+)
 
 
 def check_obs(obs: Any, observation_space: spaces.Space, method_name: str):
     """Check that ``obs`` is consistent with ``observation_space``."""
     pre = f"The obs returned by the `{method_name}()` method"
     if isinstance(observation_space, spaces.Discrete):
-        if not isinstance(obs, (np.int64, int)) and not (
-            hasattr(obs, "dtype") and np.issubdtype(obs.dtype, np.integer) and np.ndim(obs) == 0
-        ):
+        if not isinstance(obs, (np.int64, int)):
             logger.warn(f"{pre} should be an int or np.int64, actual type: {type(obs)}")
     elif isinstance(observation_space, spaces.Box):
         if observation_space.shape != ():
@@ -113,7 +149,7 @@ def env_reset_passive_checker(env, **kwargs: Any):
     """Check the env ``reset`` signature and returned values."""
     signature = inspect.signature(env.reset)
     if "seed" not in signature.parameters and "kwargs" not in signature.parameters:
-        logger.warn(
+        logger.deprecation(
             "Current gymnasium version requires that `Env.reset` can be passed a `seed` instead of using `Env.seed` for resetting the environment random number generator."
         )
     else:
@@ -121,11 +157,11 @@ def env_reset_passive_checker(env, **kwargs: Any):
         if seed_param is not None and seed_param.default is not None:
             logger.warn(
                 "The default seed argument in `Env.reset` should be `None`, otherwise the environment will by default always be deterministic. "
-                f"Actual default: {seed_param.default}"
+                f"Actual default: {seed_param}"
             )
 
     if "options" not in signature.parameters and "kwargs" not in signature.parameters:
-        logger.warn(
+        logger.deprecation(
             "Current gymnasium version requires that `Env.reset` can be passed `options` to allow the environment initialisation to be passed additional information."
         )
 
@@ -150,7 +186,7 @@ def env_step_passive_checker(env, action: Any):
     if len(result) == 4:
         logger.deprecation(
             "Core environment is written in old step API which returns one bool instead of two. "
-            "It is recommended to rewrite the environment with new step API."
+            "It is recommended to rewrite the environment with new step API. "
         )
         obs, reward, done, info = result
         if not isinstance(done, (bool, np.bool_)):
@@ -162,7 +198,7 @@ def env_step_passive_checker(env, action: Any):
         if not isinstance(truncated, (bool, np.bool_)):
             logger.warn(f"Expects `truncated` signal to be a boolean, actual type: {type(truncated)}")
     else:
-        raise AssertionError(
+        raise gym.error.Error(
             f"Expected `Env.step` to return a four or five element tuple, actual number of elements returned: {len(result)}."
         )
 

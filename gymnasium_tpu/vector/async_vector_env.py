@@ -210,10 +210,18 @@ class AsyncVectorEnv(VectorEnv):
 
         if options is not None and "reset_mask" in options:
             reset_mask = options.pop("reset_mask")
-            assert isinstance(reset_mask, np.ndarray)
-            assert reset_mask.shape == (self.num_envs,)
-            assert reset_mask.dtype == np.bool_
-            assert np.any(reset_mask)
+            assert isinstance(reset_mask, np.ndarray), (
+                f"`options['reset_mask': mask]` must be a numpy array, got {type(reset_mask)}"
+            )
+            assert reset_mask.shape == (self.num_envs,), (
+                f"`options['reset_mask': mask]` must have shape `({self.num_envs},)`, got {reset_mask.shape}"
+            )
+            assert reset_mask.dtype == np.bool_, (
+                f"`options['reset_mask': mask]` must have `dtype=np.bool_`, got {reset_mask.dtype}"
+            )
+            assert np.any(reset_mask), (
+                f"`options['reset_mask': mask]` must contain a boolean array, got reset_mask={reset_mask}"
+            )
             for pipe, env_seed, env_reset in zip(self.parent_pipes, seed, reset_mask):
                 if env_reset:
                     env_kwargs = {"seed": env_seed, "options": options}
@@ -273,7 +281,9 @@ class AsyncVectorEnv(VectorEnv):
                 str(self._state.value),
             )
         iter_actions = iterate(self.action_space, actions)
-        for pipe, action in zip(self.parent_pipes, iter_actions):
+        # strict: mismatched action count must raise, not silently truncate
+        # (reference async_vector_env.py:416).
+        for pipe, action in zip(self.parent_pipes, iter_actions, strict=True):
             pipe.send(("step", action))
         self._state = AsyncState.WAITING_STEP
 

@@ -71,18 +71,29 @@ class SyncVectorEnv(VectorEnv):
                 )
             self.observation_space = batch_space(self.single_observation_space, self.num_envs)
         elif observation_mode == "different":
-            obs_spaces = [env.observation_space for env in self.envs]
-            assert all(is_space_dtype_shape_equiv(obs_spaces[0], s) for s in obs_spaces), (
-                "SyncVectorEnv(..., observation_mode='different') however the sub-environment observation spaces do not share a common shape and dtype."
+            self.single_observation_space = self.envs[0].observation_space
+            self.observation_space = batch_differing_spaces(
+                [env.observation_space for env in self.envs]
             )
-            self.single_observation_space = obs_spaces[0]
-            self.observation_space = batch_differing_spaces(obs_spaces)
         else:
             raise ValueError(f"Invalid `observation_mode`, expected: 'same' or 'different' or tuple of single and batch observation space, actual got {observation_mode}")
 
+        # check sub-environment obs and action spaces
+        # (reference sync_vector_env.py:95-110 — also applies to tuple mode)
         for env in self.envs:
+            if observation_mode == "same":
+                assert env.observation_space == self.single_observation_space, (
+                    f"SyncVectorEnv(..., observation_mode='same') however the sub-environments observation spaces are not equivalent. single_observation_space={self.single_observation_space}, sub-environment observation_space={env.observation_space}. If this is intentional, use `observation_mode='different'` instead."
+                )
+            else:
+                assert is_space_dtype_shape_equiv(
+                    env.observation_space, self.single_observation_space
+                ), (
+                    f"SyncVectorEnv(..., observation_mode='different' or custom space) however the sub-environments observation spaces do not share a common shape and dtype, single_observation_space={self.single_observation_space}, sub-environment observation space={env.observation_space}"
+                )
+
             assert env.action_space == self.single_action_space, (
-                "SyncVectorEnv requires all sub-environments to share the same action space."
+                f"Sub-environment action space doesn't make the `single_action_space`, action_space={env.action_space}, single_action_space={self.single_action_space}"
             )
 
         self._observations = create_empty_array(
@@ -122,12 +133,18 @@ class SyncVectorEnv(VectorEnv):
         # masked partial reset (reference sync_vector_env.py:192-220)
         if options is not None and "reset_mask" in options:
             reset_mask = options.pop("reset_mask")
-            assert isinstance(reset_mask, np.ndarray)
-            assert reset_mask.shape == (self.num_envs,), (
-                f"`options['reset_mask']` must have shape `({self.num_envs},)`, got {reset_mask.shape}"
+            assert isinstance(reset_mask, np.ndarray), (
+                f"`options['reset_mask': mask]` must be a numpy array, got {type(reset_mask)}"
             )
-            assert reset_mask.dtype == np.bool_
-            assert np.any(reset_mask), f"`options['reset_mask']` must contain a boolean array, got reset_mask={reset_mask}"
+            assert reset_mask.shape == (self.num_envs,), (
+                f"`options['reset_mask': mask]` must have shape `({self.num_envs},)`, got {reset_mask.shape}"
+            )
+            assert reset_mask.dtype == np.bool_, (
+                f"`options['reset_mask': mask]` must have `dtype=np.bool_`, got {reset_mask.dtype}"
+            )
+            assert np.any(reset_mask), (
+                f"`options['reset_mask': mask]` must contain a boolean array, got reset_mask={reset_mask}"
+            )
 
             self._terminations[reset_mask] = False
             self._truncations[reset_mask] = False
@@ -163,7 +180,9 @@ class SyncVectorEnv(VectorEnv):
         actions = iterate(self.action_space, actions)
 
         observations, infos = [], {}
-        for i, action in enumerate(actions):
+        # strict zip raises ValueError when the action count mismatches
+        # num_envs (reference sync_vector_env.py:251).
+        for i, (action, _) in enumerate(zip(actions, self.envs, strict=True)):
             if self.autoreset_mode == AutoresetMode.NEXT_STEP:
                 if self._autoreset_envs[i]:
                     env_obs, env_info = self.envs[i].reset()

@@ -37,7 +37,7 @@ def create_shared_memory(space: Space[Any], n: int = 1, ctx=mp) -> Any:
         raise CustomSpaceError(
             f"Space of type `{type(space)}` doesn't have an registered `create_shared_memory` function. Register `{type(space)}` for `create_shared_memory` to support it."
         )
-    raise TypeError(f"The space provided to `create_shared_memory` is not a gymnasium_tpu Space instance, type: {type(space)}, {space}")
+    raise TypeError(f"The space provided to `create_shared_memory` is not a gymnasium Space instance, type: {type(space)}, {space}")
 
 
 @create_shared_memory.register(Box)
@@ -71,7 +71,7 @@ def read_from_shared_memory(space: Space, shared_memory: Any, n: int = 1) -> Any
         raise CustomSpaceError(
             f"Space of type `{type(space)}` doesn't have an registered `read_from_shared_memory` function. Register `{type(space)}` for `read_from_shared_memory` to support it."
         )
-    raise TypeError(f"The space provided to `read_from_shared_memory` is not a gymnasium_tpu Space instance, type: {type(space)}, {space}")
+    raise TypeError(f"The space provided to `read_from_shared_memory` is not a gymnasium Space instance, type: {type(space)}, {space}")
 
 
 @read_from_shared_memory.register(Box)
@@ -105,7 +105,7 @@ def write_to_shared_memory(space: Space, index: int, value: np.ndarray, shared_m
         raise CustomSpaceError(
             f"Space of type `{type(space)}` doesn't have an registered `write_to_shared_memory` function. Register `{type(space)}` for `write_to_shared_memory` to support it."
         )
-    raise TypeError(f"The space provided to `write_to_shared_memory` is not a gymnasium_tpu Space instance, type: {type(space)}, {space}")
+    raise TypeError(f"The space provided to `write_to_shared_memory` is not a gymnasium Space instance, type: {type(space)}, {space}")
 
 
 @write_to_shared_memory.register(Box)

@@ -44,13 +44,8 @@ __all__ = [
 @singledispatch
 def batch_space(space: Space[Any], n: int = 1) -> Space[Any]:
     """Space for a batch of ``n`` samples from ``space`` (leading axis)."""
-    if isinstance(space, Space):
-        # Unknown custom space: a Tuple of deep copies with distinct seeds.
-        batched = Tuple([deepcopy(space) for _ in range(n)])
-        batched.seed(deepcopy(space.np_random))
-        return batched
     raise TypeError(
-        f"The space provided to `batch_space` is not a gymnasium_tpu Space instance, type: {type(space)}, {space}"
+        f"The space provided to `batch_space` is not a gymnasium Space instance, type: {type(space)}, {space}"
     )
 
 
@@ -72,14 +67,13 @@ def _batch_space_discrete(space: Discrete, n: int = 1) -> MultiDiscrete:
 
 
 @batch_space.register(MultiDiscrete)
-def _batch_space_multidiscrete(space: MultiDiscrete, n: int = 1) -> MultiDiscrete:
+def _batch_space_multidiscrete(space: MultiDiscrete, n: int = 1) -> Box:
+    # Batches to a Box (reference space_utils.py:92-103): per-element integer
+    # ranges [start, start+nvec-1] stacked along the new leading axis.
     repeats = tuple([n] + [1] * space.nvec.ndim)
-    return MultiDiscrete(
-        np.tile(space.nvec, repeats),
-        dtype=space.dtype,
-        seed=deepcopy(space.np_random),
-        start=np.tile(space.start, repeats),
-    )
+    low = np.tile(space.start, repeats)
+    high = low + np.tile(space.nvec, repeats) - 1
+    return Box(low=low, high=high, dtype=space.dtype, seed=deepcopy(space.np_random))
 
 
 @batch_space.register(MultiBinary)
@@ -113,15 +107,16 @@ def _batch_space_dict(space: Dict, n: int = 1) -> Dict:
 @batch_space.register(Text)
 @batch_space.register(Sequence)
 @batch_space.register(OneOf)
+@batch_space.register(Space)
 def _batch_space_custom(space: Graph | Text | Sequence | OneOf, n: int = 1) -> Tuple:
-    # Variable-shape spaces batch as a Tuple of copies with distinct seeds.
-    space_rng = deepcopy(space.np_random)
+    # Variable-shape and custom spaces batch as a Tuple of copies with
+    # distinct seeds (reference space_utils.py:132-147).
     batched = Tuple(
         tuple(deepcopy(space) for _ in range(n)), seed=deepcopy(space.np_random)
     )
-    subseeds = space_rng.integers(np.iinfo(np.int32).max, size=n)
-    for subspace, subseed in zip(batched.spaces, subseeds):
-        subspace.seed(int(subseed))
+    space_rng = deepcopy(space.np_random)
+    new_seeds = list(map(int, space_rng.integers(0, 1e8, n)))
+    batched.seed(new_seeds)
     return batched
 
 
@@ -134,7 +129,15 @@ def batch_differing_spaces(spaces: list[Space]) -> Space:
     )
     first = spaces[0]
     if isinstance(first, Box):
-        assert all(space.dtype == first.dtype for space in spaces)
+        assert all(first.dtype == space.dtype for space in spaces), (
+            f"Expected all dtypes to be equal, actually {[space.dtype for space in spaces]}"
+        )
+        assert all(first.low.shape == space.low.shape for space in spaces), (
+            f"Expected all Box.low shape to be equal, actually {[space.low.shape for space in spaces]}"
+        )
+        assert all(first.high.shape == space.high.shape for space in spaces), (
+            f"Expected all Box.high shape to be equal, actually {[space.high.shape for space in spaces]}"
+        )
         return Box(
             low=np.stack([space.low for space in spaces]),
             high=np.stack([space.high for space in spaces]),
@@ -142,18 +145,27 @@ def batch_differing_spaces(spaces: list[Space]) -> Space:
             seed=deepcopy(first.np_random),
         )
     if isinstance(first, Discrete):
+        dtypes = [space.dtype for space in spaces]
+        largest = max(dtypes, key=lambda dt: np.dtype(dt).itemsize)
         return MultiDiscrete(
             nvec=np.array([space.n for space in spaces]),
+            dtype=largest,
             start=np.array([space.start for space in spaces]),
             seed=deepcopy(first.np_random),
         )
     if isinstance(first, MultiDiscrete):
-        assert all(np.array_equal(space.nvec, first.nvec) for space in spaces) or True
+        assert all(first.dtype == space.dtype for space in spaces), (
+            f"Expected all dtypes to be equal, actually {[space.dtype for space in spaces]}"
+        )
+        assert all(first.nvec.shape == space.nvec.shape for space in spaces), (
+            f"Expects all MultiDiscrete.nvec shape, actually {[space.nvec.shape for space in spaces]}"
+        )
+        assert all(first.start.shape == space.start.shape for space in spaces), (
+            f"Expects all MultiDiscrete.start shape, actually {[space.start.shape for space in spaces]}"
+        )
         return Box(
-            low=np.stack([np.broadcast_to(space.start, space.nvec.shape) for space in spaces]),
-            high=np.stack(
-                [np.broadcast_to(space.start + space.nvec - 1, space.nvec.shape) for space in spaces]
-            ),
+            low=np.array([space.start for space in spaces]),
+            high=np.array([space.start + space.nvec for space in spaces]) - 1,
             dtype=first.dtype,
             seed=deepcopy(first.np_random),
         )
@@ -197,7 +209,7 @@ def iterate(space: Space[Any], items: Any) -> Iterator:
         raise CustomSpaceError(
             f"Space of type `{type(space)}` doesn't have an registered `iterate` function. Register `{type(space)}` for `iterate` to support it."
         )
-    raise TypeError(f"The space provided to `iterate` is not a gymnasium_tpu Space instance, type: {type(space)}, {space}")
+    raise TypeError(f"The space provided to `iterate` is not a gymnasium Space instance, type: {type(space)}, {space}")
 
 
 @iterate.register(Discrete)
@@ -244,7 +256,7 @@ def concatenate(space: Space, items: Iterable, out: Any) -> Any:
     """Concatenate per-env samples into the preallocated batched ``out``."""
     if isinstance(space, Space):
         return tuple(items)
-    raise TypeError(f"The space provided to `concatenate` is not a gymnasium_tpu Space instance, type: {type(space)}, {space}")
+    raise TypeError(f"The space provided to `concatenate` is not a gymnasium Space instance, type: {type(space)}, {space}")
 
 
 @concatenate.register(Box)
@@ -288,8 +300,10 @@ def _concatenate_custom(space, items: Iterable, out: None) -> tuple[Any, ...]:
 def create_empty_array(space: Space, n: int = 1, fn: Any = np.zeros) -> Any:
     """Preallocate a batched output buffer for ``n`` samples of ``space``."""
     if isinstance(space, Space):
-        return tuple(None for _ in range(n))
-    raise TypeError(f"The space provided to `create_empty_array` is not a gymnasium_tpu Space instance, type: {type(space)}, {space}")
+        # Unknown custom space: no buffer can be preallocated
+        # (reference space_utils.py:540-542).
+        return None
+    raise TypeError(f"The space provided to `create_empty_array` is not a gymnasium Space instance, type: {type(space)}, {space}")
 
 
 @create_empty_array.register(Box)
@@ -315,8 +329,41 @@ def _create_empty_array_dict(space: Dict, n: int = 1, fn=np.zeros) -> dict[str, 
 
 
 @create_empty_array.register(Graph)
+def _create_empty_array_graph(space: Graph, n: int = 1, fn=np.zeros):
+    # Singleton empty graphs (reference space_utils.py:492-513).
+    from gymnasium_tpu.spaces.graph import GraphInstance
+
+    if space.edge_space is not None:
+        return tuple(
+            GraphInstance(
+                nodes=fn((1,) + space.node_space.shape, dtype=space.node_space.dtype),
+                edges=fn((1,) + space.edge_space.shape, dtype=space.edge_space.dtype),
+                edge_links=fn((1, 2), dtype=np.int64),
+            )
+            for _ in range(n)
+        )
+    return tuple(
+        GraphInstance(
+            nodes=fn((1,) + space.node_space.shape, dtype=space.node_space.dtype),
+            edges=None,
+            edge_links=None,
+        )
+        for _ in range(n)
+    )
+
+
 @create_empty_array.register(Text)
+def _create_empty_array_text(space: Text, n: int = 1, fn=np.zeros) -> tuple[str, ...]:
+    return tuple(space.characters[0] * space.min_length for _ in range(n))
+
+
 @create_empty_array.register(Sequence)
+def _create_empty_array_sequence(space: Sequence, n: int = 1, fn=np.zeros):
+    if space.stack:
+        return tuple(create_empty_array(space.feature_space, n=1, fn=fn) for _ in range(n))
+    return tuple(tuple() for _ in range(n))
+
+
 @create_empty_array.register(OneOf)
-def _create_empty_array_custom(space, n: int = 1, fn=np.zeros) -> tuple[None, ...]:
-    return tuple(None for _ in range(n))
+def _create_empty_array_oneof(space: OneOf, n: int = 1, fn=np.zeros):
+    return tuple(tuple() for _ in range(n))

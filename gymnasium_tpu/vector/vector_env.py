@@ -132,32 +132,30 @@ class VectorEnv(Generic[ObsType, ActType, ArrayType]):
         ``_key`` presence mask; nested dicts recurse.
         """
         for key, value in env_info.items():
-            if isinstance(value, dict):
+            # `final_obs` stays an unbatched object array (None for envs that
+            # did not finish) so users can index per-env observations
+            # (reference vector_env.py:293-300).
+            if key == "final_obs":
+                if "final_obs" in vector_infos:
+                    array = vector_infos["final_obs"]
+                else:
+                    array = np.full(self.num_envs, fill_value=None, dtype=object)
+                array[env_num] = value
+            elif isinstance(value, dict):
                 array = self._add_info(vector_infos.get(key, {}), value, env_num)
             else:
                 if key not in vector_infos:
-                    if type(value) in (np.ndarray,):
+                    if type(value) in [int, float, bool] or issubclass(
+                        type(value), np.number
+                    ):
+                        array = np.zeros(self.num_envs, dtype=type(value))
+                    elif isinstance(value, np.ndarray):
                         array = np.zeros((self.num_envs, *value.shape), dtype=value.dtype)
-                    elif isinstance(value, bool):
-                        array = np.zeros(self.num_envs, dtype=np.bool_)
-                    elif isinstance(value, int):
-                        array = np.zeros(self.num_envs, dtype=np.int64)
-                    elif isinstance(value, float):
-                        array = np.zeros(self.num_envs, dtype=np.float64)
                     else:
                         array = np.full(self.num_envs, fill_value=None, dtype=object)
                 else:
                     array = vector_infos[key]
-                try:
-                    array[env_num] = value
-                except (ValueError, TypeError):
-                    # dtype/shape changed between sub-envs: fall back to object
-                    new_array = np.full(self.num_envs, fill_value=None, dtype=object)
-                    new_array[: len(array)] = array[: len(array)] if array.dtype == object else [
-                        array[i] for i in range(self.num_envs)
-                    ]
-                    new_array[env_num] = value
-                    array = new_array
+                array[env_num] = value
 
             array_mask = vector_infos.get(f"_{key}", np.zeros(self.num_envs, dtype=np.bool_))
             array_mask[env_num] = True

@@ -13,7 +13,7 @@ from typing import TYPE_CHECKING, Any, SupportsFloat
 import numpy as np
 
 import gymnasium_tpu as gym
-from gymnasium_tpu import error
+from gymnasium_tpu import error, logger
 from gymnasium_tpu.core import ActType, ObsType
 from gymnasium_tpu.utils.passive_env_checker import (
     check_action_space,
@@ -64,6 +64,28 @@ class TimeLimit(gym.Wrapper[ObsType, ActType, ObsType, ActType], RecordConstruct
     def reset(self, *, seed: int | None = None, options: dict[str, Any] | None = None):
         self._elapsed_steps = 0
         return self.env.reset(seed=seed, options=options)
+
+    @property
+    def spec(self) -> EnvSpec | None:
+        """Record the limit in ``spec.max_episode_steps`` instead of a
+        WrapperSpec so `make(spec)` reapplies it natively (reference
+        common.py:107-124)."""
+        if self._cached_spec is not None:
+            return self._cached_spec
+        env_spec = self.env.spec
+        if env_spec is not None:
+            from copy import deepcopy
+
+            try:
+                env_spec = deepcopy(env_spec)
+                env_spec.max_episode_steps = self._max_episode_steps
+            except Exception as e:
+                logger.warn(
+                    f"An exception occurred ({e}) while copying the environment spec={env_spec}"
+                )
+                return None
+        self._cached_spec = env_spec
+        return env_spec
 
 
 class Autoreset(gym.Wrapper[ObsType, ActType, ObsType, ActType], RecordConstructorArgs):
@@ -134,8 +156,14 @@ class PassiveEnvChecker(gym.Wrapper[ObsType, ActType, ObsType, ActType]):
         if env_spec is not None:
             from copy import deepcopy
 
-            env_spec = deepcopy(env_spec)
-            env_spec.disable_env_checker = False
+            try:
+                env_spec = deepcopy(env_spec)
+                env_spec.disable_env_checker = False
+            except Exception as e:
+                logger.warn(
+                    f"An exception occurred ({e}) while copying the environment spec={env_spec}"
+                )
+                return None
         self._cached_spec = env_spec
         return env_spec
 
@@ -185,8 +213,14 @@ class OrderEnforcing(gym.Wrapper[ObsType, ActType, ObsType, ActType], RecordCons
         if env_spec is not None:
             from copy import deepcopy
 
-            env_spec = deepcopy(env_spec)
-            env_spec.order_enforce = True
+            try:
+                env_spec = deepcopy(env_spec)
+                env_spec.order_enforce = True
+            except Exception as e:
+                logger.warn(
+                    f"An exception occurred ({e}) while copying the environment spec={env_spec}"
+                )
+                return None
         self._cached_spec = env_spec
         return env_spec
 

@@ -71,7 +71,7 @@ def create_zero_array(space: Space):
         raise CustomSpaceError(
             f"Space of type `{type(space)}` doesn't have an registered `create_zero_array` function. Register `{type(space)}` for `create_zero_array` to support it."
         )
-    raise TypeError(f"The space provided to `create_zero_array` is not a gymnasium_tpu Space instance, type: {type(space)}, {space}")
+    raise TypeError(f"The space provided to `create_zero_array` is not a gymnasium Space instance, type: {type(space)}, {space}")
 
 
 @create_zero_array.register(Box)

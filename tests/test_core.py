@@ -85,10 +85,14 @@ def test_wrapper_space_override_is_sticky():
 
 
 def test_wrapper_getattr_falls_through():
+    # Reference 1.x removed implicit attribute forwarding: direct access on
+    # the wrapper raises; get_wrapper_attr is the supported route.
     env = GenericTestEnv()
     env.custom_attribute = 42
     wrapped = _NoopWrapper(env)
-    assert wrapped.custom_attribute == 42
+    with pytest.raises(AttributeError):
+        wrapped.custom_attribute
+    assert wrapped.get_wrapper_attr("custom_attribute") == 42
 
 
 def test_wrapper_getattr_blocks_private():

@@ -15,7 +15,10 @@ from gymnasium_tpu import spaces
 def basic_reset_func(self, *, seed: int | None = None, options: dict | None = None):
     """Default reset: seed then sample an observation."""
     super(GenericTestEnv, self).reset(seed=seed)
-    self.observation_space.seed(seed)
+    # Seed with the env's derived np_random_seed (not the raw argument) so an
+    # unseeded reset() after reset(seed=N) is reproducible — the determinism
+    # contract check_env enforces (reference tests/testing_env.py:35).
+    self.observation_space.seed(self.np_random_seed)
     return self.observation_space.sample(), {"options": options}
 
 
@@ -56,7 +59,12 @@ class GenericTestEnv(gym.Env):
         if spec == "default":
             from gymnasium_tpu.envs.registration import EnvSpec
 
-            spec = EnvSpec("TestingEnv-v0", entry_point="no-entry-point")
+            # Real entry point so check_env's spec.make() close-check works.
+            spec = EnvSpec(
+                "TestingEnv-v0",
+                entry_point="tests.testing_env:GenericTestEnv",
+                max_episode_steps=100,
+            )
         self.spec = spec
 
         self.observation_space = (

@@ -40,9 +40,12 @@ def test_batch_discrete_with_start():
 
 
 def test_batch_multidiscrete_stacks():
+    # reference space_utils.py:92-103 batches MultiDiscrete to an integer Box
+    # of per-element [start, start+nvec-1] ranges
     batched = batch_space(spaces.MultiDiscrete([2, 3]), n=4)
-    assert isinstance(batched, spaces.MultiDiscrete)
+    assert isinstance(batched, spaces.Box)
     assert batched.shape == (4, 2)
+    assert np.all(batched.low == 0) and np.all(batched.high == [[1, 2]] * 4)
 
 
 def test_batch_multibinary():
