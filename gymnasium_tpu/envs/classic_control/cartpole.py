@@ -151,6 +151,9 @@ class CartPoleEnv(gym.Env[np.ndarray, int]):
                 "You can specify the render_mode at initialization."
             )
             return None
+        # pre-reset render is a no-op (reference cartpole.py:285-286)
+        if self.state is None:
+            return None
         frame = _render_cartpole(self.state, self.params)
         if self.render_mode == "human":
             if self._display is None:

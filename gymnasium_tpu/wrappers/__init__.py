@@ -98,12 +98,26 @@ _MODULE_BY_ATTR = {
 }
 
 
+# pre-1.0 wrapper names -> their current equivalents
+# (reference wrappers/__init__.py:156-162)
+_renamed_wrapper = {
+    "AutoResetWrapper": "Autoreset",
+    "FrameStack": "FrameStackObservation",
+    "PixelObservationWrapper": "AddRenderObservation",
+    "VectorListInfo": "vector.DictInfoToList",
+}
+
+
 def __getattr__(name: str) -> Any:
     if name in _MODULE_BY_ATTR:
         import importlib
 
         module = importlib.import_module(f"gymnasium_tpu.wrappers.{_MODULE_BY_ATTR[name]}")
         return getattr(module, name)
+    if name in _renamed_wrapper:
+        raise AttributeError(
+            f"{name!r} has been renamed with `wrappers.{_renamed_wrapper[name]}`"
+        )
     if name == "vector":
         import importlib
 

@@ -62,7 +62,9 @@ def _from_numpy(value: np.ndarray, xp):
     if name == "torch":
         import torch
 
-        return torch.from_numpy(np.ascontiguousarray(value))
+        # NOT np.ascontiguousarray: it promotes 0-d arrays to 1-d, breaking
+        # scalar-tensor roundtrips. as_tensor copies when layout requires.
+        return torch.as_tensor(np.asarray(value))
     return np.asarray(value)
 
 
@@ -98,6 +100,12 @@ def _number_conversion(value, xp):
     name = _namespace_name(xp)
     if name == "numpy":
         return value
+    if name == "torch":
+        import torch
+
+        # torch's own scalar rules (float -> float32, int -> int64) so a
+        # python-float -> torch -> numpy roundtrip yields float32
+        return torch.as_tensor(value)
     return _from_numpy(np.asarray(value), xp)
 
 
@@ -132,3 +140,19 @@ class ArrayConversion(gym.Wrapper):
 
     def render(self) -> RenderFrame | list[RenderFrame] | None:
         return self.env.render()
+
+    def __getstate__(self):
+        """Pickle by namespace NAME — module objects are unpicklable
+        (reference array_conversion.py:261-273)."""
+        return {
+            "env_xp_name": _namespace_name(self._env_xp),
+            "target_xp_name": _namespace_name(self._target_xp),
+            "env": self.env,
+        }
+
+    def __setstate__(self, d):
+        """Restore namespaces by re-importing them from their names."""
+        self.env = d["env"]
+        self._env_xp = module_namespace(d["env_xp_name"])
+        self._target_xp = module_namespace(d["target_xp_name"])
+        self._cached_spec = None

@@ -116,13 +116,15 @@ class PassiveEnvChecker(gym.Wrapper[ObsType, ActType, ObsType, ActType]):
 
     def __init__(self, env: gym.Env):
         gym.Wrapper.__init__(self, env)
-        assert hasattr(env, "action_space"), (
-            "The environment must specify an action space. https://gymnasium.farama.org/introduction/create_custom_env/"
-        )
+        if not hasattr(env, "action_space"):
+            raise AttributeError(
+                "The environment must specify an action space. https://gymnasium.farama.org/introduction/create_custom_env/"
+            )
         check_action_space(env.action_space)
-        assert hasattr(env, "observation_space"), (
-            "The environment must specify an observation space. https://gymnasium.farama.org/introduction/create_custom_env/"
-        )
+        if not hasattr(env, "observation_space"):
+            raise AttributeError(
+                "The environment must specify an observation space. https://gymnasium.farama.org/introduction/create_custom_env/"
+            )
         check_observation_space(env.observation_space)
 
         self.checked_reset = False

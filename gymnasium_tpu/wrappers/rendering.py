@@ -133,15 +133,21 @@ class RecordVideo(gym.Wrapper[ObsType, ActType, ObsType, ActType], RecordConstru
         self.step_id = -1
         self.episode_id = -1
 
+        # encoder preference: moviepy > OpenCV VideoWriter > raw .npz dump
         try:
             import moviepy  # noqa: F401
 
-            self._has_moviepy = True
+            self._encoder = "moviepy"
         except ImportError:
-            self._has_moviepy = False
-            logger.warn(
-                "moviepy is not installed; RecordVideo will save raw frames as .npz instead of encoded video."
-            )
+            try:
+                import cv2  # noqa: F401
+
+                self._encoder = "cv2"
+            except ImportError:
+                self._encoder = "npz"
+                logger.warn(
+                    "Neither moviepy nor OpenCV is installed; RecordVideo will save raw frames as .npz instead of encoded video."
+                )
 
     def _capture_frame(self):
         assert self.recording, "Cannot capture a frame, recording wasn't started."
@@ -175,7 +181,7 @@ class RecordVideo(gym.Wrapper[ObsType, ActType, ObsType, ActType], RecordConstru
     def step(self, action):
         obs, rew, terminated, truncated, info = self.env.step(action)
         self.step_id += 1
-        if not self.recording and self.step_trigger and self.step_trigger(self.step_id):
+        if self.step_trigger and self.step_trigger(self.step_id):
             self.start_recording(f"{self.name_prefix}-step-{self.step_id}")
         if self.recording:
             self._capture_frame()
@@ -199,7 +205,10 @@ class RecordVideo(gym.Wrapper[ObsType, ActType, ObsType, ActType], RecordConstru
             self.stop_recording()
 
     def start_recording(self, video_name: str):
-        """Begin recording frames under ``video_name``."""
+        """Begin recording under ``video_name``; an in-progress recording is
+        saved first (reference rendering.py:394-400)."""
+        if self.recording:
+            self.stop_recording()
         self.recording = True
         self._video_name = video_name
 
@@ -208,13 +217,28 @@ class RecordVideo(gym.Wrapper[ObsType, ActType, ObsType, ActType], RecordConstru
         assert self.recording, "stop_recording was called, but no recording was started"
         if len(self.recorded_frames) == 0:
             logger.warn("Ignored saving a video as there were zero frames to save.")
-        elif self._has_moviepy:
+        elif self._encoder == "moviepy":
             from moviepy.video.io.ImageSequenceClip import ImageSequenceClip
 
             clip = ImageSequenceClip(self.recorded_frames, fps=self.frames_per_sec)
             moviepy_logger = None if self.disable_logger else "bar"
             path = os.path.join(self.video_folder, f"{self._video_name}.mp4")
             clip.write_videofile(path, logger=moviepy_logger)
+        elif self._encoder == "cv2":
+            import cv2
+
+            path = os.path.join(self.video_folder, f"{self._video_name}.mp4")
+            h, w = self.recorded_frames[0].shape[:2]
+            writer = cv2.VideoWriter(
+                path,
+                cv2.VideoWriter_fourcc(*"mp4v"),
+                self.frames_per_sec,
+                (w, h),
+            )
+            for frame in self.recorded_frames:
+                # RGB -> BGR for OpenCV
+                writer.write(frame[..., ::-1].copy())
+            writer.release()
         else:
             path = os.path.join(self.video_folder, f"{self._video_name}.npz")
             np.savez_compressed(
@@ -228,7 +252,12 @@ class RecordVideo(gym.Wrapper[ObsType, ActType, ObsType, ActType], RecordConstru
 class HumanRendering(gym.Wrapper[ObsType, ActType, ObsType, ActType], RecordConstructorArgs):
     """Display an rgb_array env in a window (reference rendering.py:436)."""
 
-    ACCEPTED_RENDER_MODES = ["rgb_array", "rgb_array_list"]
+    ACCEPTED_RENDER_MODES = [
+        "rgb_array",
+        "rgb_array_list",
+        "depth_array",
+        "depth_array_list",
+    ]
 
     def __init__(self, env: gym.Env):
         RecordConstructorArgs.__init__(self)
@@ -302,56 +331,108 @@ class HumanRendering(gym.Wrapper[ObsType, ActType, ObsType, ActType], RecordCons
 
 
 class AddWhiteNoise(gym.Wrapper[ObsType, ActType, ObsType, ActType], RecordConstructorArgs):
-    """Randomly replace rendered pixels with white noise
-    (reference rendering.py:584)."""
-
-    def __init__(self, env: gym.Env, probability_of_noise_per_pixel: float):
-        RecordConstructorArgs.__init__(
-            self, probability_of_noise_per_pixel=probability_of_noise_per_pixel
-        )
-        gym.Wrapper.__init__(self, env)
-        assert 0 <= probability_of_noise_per_pixel <= 1
-        self.probability_of_noise_per_pixel = probability_of_noise_per_pixel
-
-    def render(self):
-        render_out = self.env.render()
-        if isinstance(render_out, np.ndarray):
-            mask = (
-                self.np_random.random(render_out.shape[:2]) < self.probability_of_noise_per_pixel
-            )
-            noise = self.np_random.integers(0, 256, size=render_out.shape, dtype=np.uint8)
-            return np.where(mask[..., None], noise, render_out)
-        return render_out
-
-
-class ObstructView(gym.Wrapper[ObsType, ActType, ObsType, ActType], RecordConstructorArgs):
-    """Block out rectangular patches of the rendered view
-    (reference rendering.py:660)."""
+    """Randomly replace rendered pixels with white (or grayscale) noise
+    (reference rendering.py:584-658)."""
 
     def __init__(
         self,
         env: gym.Env,
-        obstructed_fraction: float = 0.3,
-        num_blocks: int = 4,
+        probability_of_noise_per_pixel: float,
+        is_noise_grayscale: bool = False,
     ):
+        if not 0 <= probability_of_noise_per_pixel < 1:
+            raise error.InvalidProbability(
+                f"probability_of_noise_per_pixel should be in the interval [0,1). Received {probability_of_noise_per_pixel}"
+            )
         RecordConstructorArgs.__init__(
-            self, obstructed_fraction=obstructed_fraction, num_blocks=num_blocks
+            self,
+            probability_of_noise_per_pixel=probability_of_noise_per_pixel,
+            is_noise_grayscale=is_noise_grayscale,
         )
         gym.Wrapper.__init__(self, env)
-        assert 0 <= obstructed_fraction <= 1
-        assert num_blocks >= 1
-        self.obstructed_fraction = obstructed_fraction
-        self.num_blocks = num_blocks
+        self.probability_of_noise_per_pixel = probability_of_noise_per_pixel
+        self.is_noise_grayscale = is_noise_grayscale
+
+    def _make_noise(self, shape):
+        if self.is_noise_grayscale:
+            return (
+                self.np_random.integers(
+                    (0, 0, 0),
+                    255 * np.array([0.2989, 0.5870, 0.1140]),
+                    size=shape,
+                    dtype=np.uint8,
+                )
+                .sum(-1, keepdims=True)
+                .repeat(3, -1)
+            )
+        return self.np_random.integers(0, 255, size=shape, dtype=np.uint8)
 
     def render(self):
-        render_out = self.env.render()
+        render_out = super().render()
         if isinstance(render_out, np.ndarray):
-            render_out = render_out.copy()
-            h, w = render_out.shape[:2]
-            block_area = self.obstructed_fraction * h * w / self.num_blocks
-            block_side = max(int(np.sqrt(block_area)), 1)
-            for _ in range(self.num_blocks):
-                y = int(self.np_random.integers(0, max(h - block_side, 1)))
-                x = int(self.np_random.integers(0, max(w - block_side, 1)))
-                render_out[y : y + block_side, x : x + block_side] = 0
+            mask = (
+                self.np_random.random(render_out.shape[:2]) < self.probability_of_noise_per_pixel
+            )
+            return np.where(mask[..., None], self._make_noise(render_out.shape), render_out)
         return render_out
+
+
+class ObstructView(gym.Wrapper[ObsType, ActType, ObsType, ActType], RecordConstructorArgs):
+    """Obstruct square patches of the rendered view with noise
+    (reference rendering.py:660-760)."""
+
+    def __init__(
+        self,
+        env: gym.Env,
+        obstructed_pixels_ratio: float,
+        obstruction_width: int,
+        is_noise_grayscale: bool = False,
+    ):
+        if not 0 <= obstructed_pixels_ratio < 1:
+            raise ValueError(
+                f"obstructed_pixels_ratio should be in the interval [0,1). Received {obstructed_pixels_ratio}"
+            )
+        if obstruction_width < 1:
+            raise ValueError(
+                f"obstruction_width should be larger or equal than 1. Received {obstruction_width}"
+            )
+        RecordConstructorArgs.__init__(
+            self,
+            obstructed_pixels_ratio=obstructed_pixels_ratio,
+            obstruction_width=obstruction_width,
+            is_noise_grayscale=is_noise_grayscale,
+        )
+        gym.Wrapper.__init__(self, env)
+        self.obstruction_centers_ratio = obstructed_pixels_ratio / obstruction_width**2
+        self.obstruction_width = obstruction_width
+        self.is_noise_grayscale = is_noise_grayscale
+
+    def render(self):
+        render_out = super().render()
+        if not isinstance(render_out, np.ndarray):
+            return render_out
+        h, w = render_out.shape[:2]
+        n_pixels = h * w
+        n_obstructions = int(n_pixels * self.obstruction_centers_ratio)
+        centers = self.np_random.integers(0, n_pixels, n_obstructions)
+        centers = np.unravel_index(centers, (h, w))
+        mask = np.zeros((h, w), dtype=bool)
+        low = self.obstruction_width // 2
+        high = self.obstruction_width - low
+        for x, y in zip(*centers):
+            mask[max(x - low, 0) : min(x + high, h), max(y - low, 0) : min(y + high, w)] = True
+
+        if self.is_noise_grayscale:
+            noise = (
+                self.np_random.integers(
+                    (0, 0, 0),
+                    255 * np.array([0.2989, 0.5870, 0.1140]),
+                    size=render_out.shape,
+                    dtype=np.uint8,
+                )
+                .sum(-1, keepdims=True)
+                .repeat(3, -1)
+            )
+        else:
+            noise = self.np_random.integers(0, 255, size=render_out.shape, dtype=np.uint8)
+        return np.where(mask[..., None], noise, render_out)

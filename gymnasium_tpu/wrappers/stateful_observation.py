@@ -97,42 +97,43 @@ class TimeAwareObservation(gym.ObservationWrapper, RecordConstructorArgs):
             )
             time_space = spaces.Box(0.0, 1.0)
         else:
-            self._time_preprocess_func = lambda time: np.array(
-                [self.max_timesteps - time], dtype=np.int32
-            )
+            # elapsed step count, 0 at reset (reference
+            # stateful_observation.py:222-223)
+            self._time_preprocess_func = lambda time: np.array([time], dtype=np.int32)
             time_space = spaces.Box(0, self.max_timesteps, dtype=np.int32)
 
-        if self.flatten:
+        # compose the structured space first, then flatten if requested
+        # (reference stateful_observation.py:225-249)
+        if isinstance(env.observation_space, spaces.Dict):
+            assert dict_time_key not in env.observation_space.keys()
             observation_space = spaces.Dict(
-                obs=env.observation_space, time=time_space
+                {dict_time_key: time_space, **env.observation_space.spaces}
             )
+            self._append_data_func = lambda obs, time: {dict_time_key: time, **obs}
+        elif isinstance(env.observation_space, spaces.Tuple):
+            observation_space = spaces.Tuple(
+                env.observation_space.spaces + (time_space,)
+            )
+            self._append_data_func = lambda obs, time: obs + (time,)
+        else:
+            observation_space = spaces.Dict(obs=env.observation_space, time=time_space)
+            self._append_data_func = lambda obs, time: {"obs": obs, "time": time}
+
+        if self.flatten:
             self.observation_space = spaces.flatten_space(observation_space)
-            self._append_data_func = lambda obs, time: spaces.flatten(
-                observation_space, {"obs": obs, "time": time}
+            self._obs_postprocess_func = lambda obs: spaces.flatten(
+                observation_space, obs
             )
         else:
-            if isinstance(env.observation_space, spaces.Dict):
-                assert dict_time_key not in env.observation_space.keys()
-                observation_space = spaces.Dict(
-                    {dict_time_key: time_space, **env.observation_space.spaces}
-                )
-                self._append_data_func = lambda obs, time: {dict_time_key: time, **obs}
-            elif isinstance(env.observation_space, spaces.Tuple):
-                observation_space = spaces.Tuple(
-                    env.observation_space.spaces + (time_space,)
-                )
-                self._append_data_func = lambda obs, time: obs + (time,)
-            else:
-                observation_space = spaces.Dict(
-                    obs=env.observation_space, **{dict_time_key: time_space}
-                )
-                self._append_data_func = lambda obs, time: {"obs": obs, dict_time_key: time}
             self.observation_space = observation_space
+            self._obs_postprocess_func = lambda obs: obs
 
     def observation(self, observation: ObsType):
-        """Attach the (normalized or remaining) time to the observation."""
-        return self._append_data_func(
-            observation, self._time_preprocess_func(self.timesteps)
+        """Attach the (elapsed or normalized) time to the observation."""
+        return self._obs_postprocess_func(
+            self._append_data_func(
+                observation, self._time_preprocess_func(self.timesteps)
+            )
         )
 
     def step(self, action: ActType):
@@ -161,9 +162,9 @@ class FrameStackObservation(gym.Wrapper, RecordConstructorArgs):
             raise TypeError(
                 f"The stack_size is expected to be an integer, actual type: {type(stack_size)}"
             )
-        if not 1 < stack_size:
+        if not 0 < stack_size:
             raise ValueError(
-                f"The stack_size needs to be greater than one, actual value: {stack_size}"
+                f"The stack_size needs to be greater than zero, actual value: {stack_size}"
             )
         if isinstance(padding_type, str) and (padding_type == "reset" or padding_type == "zero"):
             self.padding_value: ObsType = create_zero_array(env.observation_space)

@@ -55,7 +55,8 @@ class ClipAction(TransformAction, RecordConstructorArgs):
 
 class RescaleAction(TransformAction, RecordConstructorArgs):
     """Affinely rescale actions from ``[min_action, max_action]`` into the
-    env's Box bounds."""
+    env's Box bounds; infinite components pass through (reference
+    transform_action.py:126-180)."""
 
     def __init__(
         self,
@@ -65,41 +66,16 @@ class RescaleAction(TransformAction, RecordConstructorArgs):
     ):
         assert isinstance(env.action_space, spaces.Box)
 
-        if not isinstance(min_action, np.ndarray):
-            assert np.issubdtype(type(min_action), np.integer) or np.issubdtype(
-                type(min_action), np.floating
-            )
-            min_action = np.full(env.action_space.shape, min_action)
-        assert min_action.shape == env.action_space.shape
-        assert not np.any(min_action == np.inf)
-
-        if not isinstance(max_action, np.ndarray):
-            assert np.issubdtype(type(max_action), np.integer) or np.issubdtype(
-                type(max_action), np.floating
-            )
-            max_action = np.full(env.action_space.shape, max_action)
-        assert max_action.shape == env.action_space.shape
-        assert not np.any(max_action == np.inf)
-        assert np.all(min_action < max_action)
-
-        old_low = env.action_space.low
-        old_high = env.action_space.high
-        assert not np.any(old_low == np.inf) and not np.any(old_high == np.inf)
-
-        gradient = (old_high - old_low) / (max_action - min_action)
-        intercept = gradient * -min_action + old_low
-
         RecordConstructorArgs.__init__(self, min_action=min_action, max_action=max_action)
+
+        from gymnasium_tpu.wrappers.utils import rescale_box
+
+        act_space, _, func = rescale_box(env.action_space, min_action, max_action)
         TransformAction.__init__(
             self,
             env=env,
-            func=lambda action: gradient * action + intercept,
-            action_space=spaces.Box(
-                low=min_action,
-                high=max_action,
-                shape=env.action_space.shape,
-                dtype=env.action_space.dtype,
-            ),
+            func=func,
+            action_space=act_space,
         )
 
 
@@ -165,3 +141,14 @@ class DiscretizeAction(gym.ActionWrapper, RecordConstructorArgs):
             dtype=self.env.action_space.dtype,
         )
         return continuous
+
+    def revert_action(self, action):
+        """Map a continuous action back to the discrete index of its nearest
+        bin center (reference transform_action.py:308-318)."""
+        indices = [
+            np.argmin(np.abs(self.bin_centers[i] - action[i]))
+            for i in range(self.n_dims)
+        ]
+        if self.multidiscrete:
+            return np.array(indices, dtype=int)
+        return np.ravel_multi_index(indices, self.bins)

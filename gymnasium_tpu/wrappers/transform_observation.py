@@ -240,8 +240,8 @@ class ReshapeObservation(TransformObservation, RecordConstructorArgs):
 
 
 class RescaleObservation(TransformObservation, RecordConstructorArgs):
-    """Affinely rescale Box observations into ``[min_obs, max_obs]``
-    (reference transform_observation.py:463)."""
+    """Affinely rescale Box observations into ``[min_obs, max_obs]``; infinite
+    components pass through (reference transform_observation.py:463-510)."""
 
     def __init__(
         self,
@@ -250,45 +250,17 @@ class RescaleObservation(TransformObservation, RecordConstructorArgs):
         max_obs: np.floating | int | float | np.ndarray,
     ):
         assert isinstance(env.observation_space, spaces.Box)
-        assert not np.any(env.observation_space.low == np.inf) and not np.any(
-            env.observation_space.high == np.inf
-        )
-
-        if not isinstance(min_obs, np.ndarray):
-            assert np.issubdtype(type(min_obs), np.integer) or np.issubdtype(
-                type(min_obs), np.floating
-            )
-            min_obs = np.full(env.observation_space.shape, min_obs)
-        assert min_obs.shape == env.observation_space.shape
-        assert not np.any(min_obs == np.inf)
-
-        if not isinstance(max_obs, np.ndarray):
-            assert np.issubdtype(type(max_obs), np.integer) or np.issubdtype(
-                type(max_obs), np.floating
-            )
-            max_obs = np.full(env.observation_space.shape, max_obs)
-        assert max_obs.shape == env.observation_space.shape
-        assert not np.any(max_obs == np.inf)
-
-        self.min_obs = min_obs
-        self.max_obs = max_obs
-
-        old_low = env.observation_space.low
-        old_high = env.observation_space.high
-        gradient = (max_obs - min_obs) / (old_high - old_low)
-        intercept = gradient * -old_low + min_obs
 
         RecordConstructorArgs.__init__(self, min_obs=min_obs, max_obs=max_obs)
+
+        from gymnasium_tpu.wrappers.utils import rescale_box
+
+        obs_space, func, _ = rescale_box(env.observation_space, min_obs, max_obs)
         TransformObservation.__init__(
             self,
             env=env,
-            func=lambda obs: gradient * obs + intercept,
-            observation_space=spaces.Box(
-                low=min_obs,
-                high=max_obs,
-                shape=env.observation_space.shape,
-                dtype=env.observation_space.dtype,
-            ),
+            func=func,
+            observation_space=obs_space,
         )
 
 

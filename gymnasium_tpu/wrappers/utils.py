@@ -136,3 +136,65 @@ def _create_graph_zero_array(space: Graph):
 @create_zero_array.register(OneOf)
 def _create_oneof_zero_array(space: OneOf):
     return (np.int64(0), create_zero_array(space.spaces[0]))
+
+
+def rescale_box(box, new_min, new_max):
+    """Affine rescale of a Box with inf-aware bounds: unbounded components
+    must stay unbounded and pass through unscaled (reference
+    wrappers/utils.py:156-236).
+
+    Returns ``(new_box, forward, backward)`` where forward maps original ->
+    rescaled and backward maps rescaled -> original.
+    """
+    from gymnasium_tpu.spaces import Box
+
+    assert isinstance(box, Box)
+
+    if not isinstance(new_min, np.ndarray):
+        assert np.issubdtype(type(new_min), np.integer) or np.issubdtype(
+            type(new_min), np.floating
+        )
+        new_min = np.full(box.shape, new_min)
+    assert new_min.shape == box.shape, f"{new_min.shape}, {box.shape}, {new_min}, {box.low}"
+
+    if not isinstance(new_max, np.ndarray):
+        assert np.issubdtype(type(new_max), np.integer) or np.issubdtype(
+            type(new_max), np.floating
+        )
+        new_max = np.full(box.shape, new_max)
+    assert new_max.shape == box.shape
+    assert np.all((new_min == box.low)[np.isinf(new_min) | np.isinf(box.low)])
+    assert np.all((new_max == box.high)[np.isinf(new_max) | np.isinf(box.high)])
+    assert np.all(new_min <= new_max)
+    assert np.all(box.low <= box.high)
+
+    try:
+        high_low_diff_dtype = np.float128
+    except AttributeError:
+        high_low_diff_dtype = np.float64
+
+    min_finite = np.isfinite(new_min)
+    max_finite = np.isfinite(new_max)
+    both_finite = min_finite & max_finite
+
+    high_low_diff = np.array(box.high[both_finite], dtype=high_low_diff_dtype) - np.array(
+        box.low[both_finite], dtype=high_low_diff_dtype
+    )
+
+    gradient = np.ones_like(new_min, dtype=box.dtype)
+    gradient[both_finite] = (new_max[both_finite] - new_min[both_finite]) / high_low_diff
+
+    intercept = np.zeros_like(new_min, dtype=box.dtype)
+    # where both are finite, the lower-bound anchoring takes precedence
+    intercept[max_finite] = new_max[max_finite] - box.high[max_finite]
+    intercept[min_finite] = gradient[min_finite] * -box.low[min_finite] + new_min[min_finite]
+
+    new_box = Box(low=new_min, high=new_max, shape=box.shape, dtype=box.dtype)
+
+    def forward(obs):
+        return gradient * obs + intercept
+
+    def backward(obs):
+        return (obs - intercept) / gradient
+
+    return new_box, forward, backward
