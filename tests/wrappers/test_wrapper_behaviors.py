@@ -310,7 +310,9 @@ def test_add_white_noise_changes_pixels():
 
 def test_obstruct_view_changes_pixels():
     env = gym.make("CartPole-v1", render_mode="rgb_array", disable_env_checker=True)
-    obstructed = wrappers.ObstructView(env, obstructed_fraction=0.5)
+    obstructed = wrappers.ObstructView(
+        env, obstructed_pixels_ratio=0.5, obstruction_width=20
+    )
     obstructed.reset(seed=0)
     frame = obstructed.render()
     assert frame is not None and frame.ndim == 3

@@ -121,9 +121,9 @@ def test_time_aware_observation():
     env = wrappers.TimeAwareObservation(make_cartpole())
     obs, _ = env.reset(seed=0)
     assert obs.shape == (5,)
-    assert obs[-1] == 500
+    assert obs[-1] == 0
     obs, *_ = env.step(0)
-    assert obs[-1] == 499
+    assert obs[-1] == 1
 
 
 def test_delay_observation():
