@@ -24,16 +24,19 @@ TRIALS = 5
 BASELINE_STEPS_PER_S = 50e6
 
 
-def _run_pallas(jax, jnp):
+def _run_pallas(jax, jnp, obs_dtype=None):
     from gymnasium_tpu.ops import cartpole_rollout_fused
 
+    obs_dtype = obs_dtype or jnp.float32
     state = jnp.zeros((4, NUM_ENVS), jnp.float32)
     steps = jnp.zeros((NUM_ENVS,), jnp.int32)
     done = jnp.zeros((NUM_ENVS,), bool)
 
     def block(seed, carry):
         st, sp, dn = carry
-        out = cartpole_rollout_fused(st, sp, dn, seed, STEPS_PER_BLOCK)
+        out = cartpole_rollout_fused(
+            st, sp, dn, seed, STEPS_PER_BLOCK, obs_dtype=obs_dtype
+        )
         return (out[0], out[1], out[2]), out
 
     def run():
@@ -67,35 +70,38 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    def measure(run):
+        for _ in range(WARMUP_BLOCKS):
+            run()
+        rates = []
+        for _ in range(TRIALS):
+            start = time.perf_counter()
+            run()
+            elapsed = time.perf_counter() - start
+            rates.append(NUM_ENVS * STEPS_PER_BLOCK * MEASURE_BLOCKS / elapsed)
+        return sorted(rates)[len(rates) // 2]
+
+    def emit(path, steps_per_s):
+        print(
+            json.dumps(
+                {
+                    "metric": f"cartpole_v1_env_steps_per_s_4096envs_random_policy_{path}",
+                    "value": round(steps_per_s),
+                    "unit": "env-steps/s",
+                    "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
+                }
+            )
+        )
+
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu:
-        run = _run_pallas(jax, jnp)
-        path = "pallas_fused"
+        # Secondary metric first: bf16 trajectory observations (halves the
+        # HBM write traffic of the obs stream). The headline f32 line is
+        # printed LAST so single-line consumers pick it up.
+        emit("pallas_fused_bf16obs", measure(_run_pallas(jax, jnp, jnp.bfloat16)))
+        emit("pallas_fused", measure(_run_pallas(jax, jnp)))
     else:
-        run = _run_scan(jax)
-        path = "xla_scan"
-
-    for _ in range(WARMUP_BLOCKS):
-        run()
-
-    rates = []
-    for _ in range(TRIALS):
-        start = time.perf_counter()
-        run()
-        elapsed = time.perf_counter() - start
-        rates.append(NUM_ENVS * STEPS_PER_BLOCK * MEASURE_BLOCKS / elapsed)
-    steps_per_s = sorted(rates)[len(rates) // 2]
-
-    print(
-        json.dumps(
-            {
-                "metric": f"cartpole_v1_env_steps_per_s_4096envs_random_policy_{path}",
-                "value": round(steps_per_s),
-                "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
-            }
-        )
-    )
+        emit("xla_scan", measure(_run_scan(jax)))
 
 
 if __name__ == "__main__":

@@ -70,8 +70,10 @@ def _rollout_kernel(
         done_s[:] = done_ref[:]
 
     # Deterministic per-step stream; reseeding each iteration keeps the
-    # kernel correct under any pipelining/revisit order.
-    pltpu.prng_seed(seed_ref[0] + i)
+    # kernel correct under any pipelining/revisit order. The seed is mixed
+    # with a Weyl constant so that consecutive base seeds (e.g. block b and
+    # b+1 from bench.py) do not produce overlapping per-step streams.
+    pltpu.prng_seed(seed_ref[0] * jnp.int32(-1640531527) + i)  # 0x9E3779B9 mod 2^32
 
     state = state_s[:]  # (4, N)
     x, x_dot = state[0:1, :], state[1:2, :]
