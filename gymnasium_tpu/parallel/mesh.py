@@ -127,10 +127,14 @@ def shard_ppo_state(state: Any, mesh: Mesh) -> Any:
     """
     from gymnasium_tpu.train.ppo import PPOState
 
+    num_envs = state.obs.shape[0]
     return PPOState(
         params=jax.device_put(state.params, replicated(mesh)),
         opt_state=jax.device_put(state.opt_state, replicated(mesh)),
-        env_carry=shard_env_batch(state.env_carry, mesh),
+        # WrappedEnvCarry shards too: per-env leaves (frame buffers, return
+        # accumulators) split over dp, shared stats (RMS mean/var) replicate.
+        env_carry=shard_env_batch(state.env_carry, mesh, batch_size=num_envs),
+        obs=shard_env_batch(state.obs, mesh, batch_size=num_envs),
         rng=jax.device_put(state.rng, replicated(mesh)),
         update_count=jax.device_put(state.update_count, replicated(mesh)),
     )

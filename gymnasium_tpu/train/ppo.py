@@ -53,11 +53,19 @@ class PPOConfig(NamedTuple):
 
 
 class PPOState(NamedTuple):
-    """Carried training state (a checkpointable pytree)."""
+    """Carried training state (a checkpointable pytree).
+
+    ``env_carry`` is an :class:`EnvCarry`, or a
+    :class:`~gymnasium_tpu.wrappers.func.WrappedEnvCarry` when the trainer
+    was built with functional wrappers (their normalization statistics /
+    frame buffers checkpoint with everything else). ``obs`` is the current
+    (post-wrapper) batched observation feeding the next rollout step.
+    """
 
     params: Any
     opt_state: Any
-    env_carry: EnvCarry
+    env_carry: Any
+    obs: Any
     rng: Any
     update_count: Any
 
@@ -90,10 +98,29 @@ def _mlp_apply(params, x, compute_dtype, final_scale: float = 1.0):
     return h * final_scale
 
 
-def init_ppo(func_env: FuncEnv, config: PPOConfig, rng) -> tuple[PPOState, Any, optax.GradientTransformation]:
-    """Initialise params, optimizer, and device-resident env batch."""
-    obs_dim = _obs_size(func_env.observation_space)
-    act_space = func_env.action_space
+def _wrapped_spaces(func_env: FuncEnv, wrappers):
+    obs_space, act_space = func_env.observation_space, func_env.action_space
+    for w in wrappers:
+        obs_space = w.observation_space(obs_space)
+        act_space = w.action_space(act_space)
+    return obs_space, act_space
+
+
+def init_ppo(
+    func_env: FuncEnv,
+    config: PPOConfig,
+    rng,
+    wrappers=(),
+) -> tuple[PPOState, Any, optax.GradientTransformation]:
+    """Initialise params, optimizer, and device-resident env batch.
+
+    ``wrappers`` is a stack of functional wrappers
+    (:mod:`gymnasium_tpu.wrappers.func`, innermost first) folded into the
+    compiled train step — e.g. ``[NormalizeObservation(), NormalizeReward()]``
+    gives fully on-device obs/return normalization.
+    """
+    obs_space, act_space = _wrapped_spaces(func_env, wrappers)
+    obs_dim = _obs_size(obs_space)
     if isinstance(act_space, spaces.Discrete):
         act_out = int(act_space.n)
         continuous = False
@@ -120,12 +147,18 @@ def init_ppo(func_env: FuncEnv, config: PPOConfig, rng) -> tuple[PPOState, Any, 
 
     batched = vectorize_func_env(func_env, config.num_envs)
     env_params = func_env.get_default_params()
-    env_carry, _ = make_initial_carry(batched, k_env, env_params)
+    k_env, k_wrap = jax.random.split(k_env)
+    env_carry, obs = make_initial_carry(batched, k_env, env_params)
+    if wrappers:
+        from gymnasium_tpu.wrappers.func import wrap_initial
+
+        env_carry, obs = wrap_initial(wrappers, k_wrap, env_carry, obs, env_params)
 
     state = PPOState(
         params=params,
         opt_state=opt_state,
         env_carry=env_carry,
+        obs=obs.reshape(config.num_envs, obs_dim),
         rng=rng,
         update_count=jnp.zeros((), jnp.int32),
     )
@@ -187,12 +220,18 @@ def make_train_step(
     config: PPOConfig,
     env_params: Any = None,
     tx: optax.GradientTransformation | None = None,
+    wrappers=(),
 ) -> Callable[[PPOState], tuple[PPOState, dict[str, Any]]]:
     """Build the pure ``train_step(state) -> (state, metrics)`` function.
 
     One call = one rollout of ``rollout_steps × num_envs`` env steps plus
     ``update_epochs`` epochs of ``num_minibatches`` PPO updates, all inside a
-    single jittable program.
+    single jittable program. ``wrappers`` (functional, innermost first, same
+    stack passed to :func:`init_ppo`) fold into the compiled step, so
+    observation/reward normalization runs on-device with zero host syncs —
+    the device-side equivalent of the reference's NormalizeObservation /
+    NormalizeReward wrappers (reference stateful_observation.py:458,
+    stateful_reward.py:19).
     """
     continuous = isinstance(func_env.action_space, spaces.Box)
     if tx is None:
@@ -206,38 +245,37 @@ def make_train_step(
     env_step = make_autoreset_step(
         batched, env_params, time_limit=config.max_episode_steps, autoreset=True
     )
-    obs_dim = _obs_size(func_env.observation_space)
+    if wrappers:
+        from gymnasium_tpu.wrappers.func import wrap_autoreset_step
 
-    def get_obs(carry, rng):
-        return batched.observation(carry.state, rng, env_params).reshape(
-            config.num_envs, obs_dim
-        )
+        env_step = wrap_autoreset_step(env_step, wrappers)
+    obs_space, _ = _wrapped_spaces(func_env, wrappers)
+    obs_dim = _obs_size(obs_space)
 
     def rollout_body(loop_carry, _):
-        env_carry, rng, params = loop_carry
-        rng, k_obs, k_act = jax.random.split(rng, 3)
-        obs = get_obs(env_carry, k_obs)
+        env_carry, obs, rng, params = loop_carry
+        rng, k_act = jax.random.split(rng)
         logits, log_std = _policy_dist(params, obs, config, continuous)
         action, logp = _sample_action(k_act, logits, log_std, continuous)
         value = _mlp_apply(params["v"], obs, config.compute_dtype).squeeze(-1)
         env_carry, ts = env_step(env_carry, action)
+        next_obs = ts.obs.reshape(config.num_envs, obs_dim)
         done = jnp.logical_or(ts.terminated, ts.truncated)
         transition = _Transition(obs, action, logp, value, ts.reward, done)
-        return (env_carry, rng, params), transition
+        return (env_carry, next_obs, rng, params), transition
 
     def train_step(state: PPOState) -> tuple[PPOState, dict[str, Any]]:
         rng = state.rng
-        rng, k_roll, k_last, k_perm = jax.random.split(rng, 4)
+        rng, k_roll, k_perm = jax.random.split(rng, 3)
 
-        (env_carry, _, _), traj = jax.lax.scan(
+        (env_carry, last_obs, _, _), traj = jax.lax.scan(
             rollout_body,
-            (state.env_carry, k_roll, state.params),
+            (state.env_carry, state.obs, k_roll, state.params),
             None,
             length=config.rollout_steps,
         )
 
         # GAE over the time-major trajectory.
-        last_obs = get_obs(env_carry, k_last)
         last_value = _mlp_apply(state.params["v"], last_obs, config.compute_dtype).squeeze(-1)
 
         def gae_body(gae_and_next_value, transition):
@@ -324,6 +362,7 @@ def make_train_step(
             params=params,
             opt_state=opt_state,
             env_carry=env_carry,
+            obs=last_obs,
             rng=rng,
             update_count=state.update_count + 1,
         )
@@ -338,12 +377,13 @@ def train(
     num_updates: int = 50,
     seed: int = 0,
     verbose: bool = False,
+    wrappers=(),
 ):
     """Convenience end-to-end PPO training loop on a single device."""
     config = config or PPOConfig()
     rng = jax.random.PRNGKey(seed)
-    state, env_params, tx = init_ppo(func_env, config, rng)
-    step = jax.jit(make_train_step(func_env, config, env_params, tx))
+    state, env_params, tx = init_ppo(func_env, config, rng, wrappers=wrappers)
+    step = jax.jit(make_train_step(func_env, config, env_params, tx, wrappers=wrappers))
     for i in range(num_updates):
         state, metrics = step(state)
         if verbose and (i % 10 == 0 or i == num_updates - 1):

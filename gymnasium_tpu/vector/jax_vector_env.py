@@ -49,6 +49,7 @@ class JaxVectorEnv(VectorEnv):
         seed: int | None = None,
         sharding: jax.sharding.Sharding | None = None,
         jit: bool = True,
+        wrappers: Any = None,
     ):
         self.func_env = func_env
         self.num_envs = num_envs
@@ -58,24 +59,28 @@ class JaxVectorEnv(VectorEnv):
         self.metadata = dict(type(self).metadata)
         self.metadata["autoreset_mode"] = autoreset_mode
         self.sharding = sharding
+        #: Device-composable wrapper stack (innermost first) — see
+        #: :mod:`gymnasium_tpu.wrappers.func`. Their states thread through the
+        #: compiled step as part of the carry; no host code runs per step.
+        self.wrappers = tuple(wrappers) if wrappers else ()
 
         assert autoreset_mode in (AutoresetMode.NEXT_STEP, AutoresetMode.DISABLED), (
             f"JaxVectorEnv supports NEXT_STEP and DISABLED autoreset, got {autoreset_mode}"
         )
 
-        self.single_observation_space = func_env.observation_space
-        self.single_action_space = func_env.action_space
+        obs_space = func_env.observation_space
+        act_space = func_env.action_space
+        for w in self.wrappers:
+            obs_space = w.observation_space(obs_space)
+            act_space = w.action_space(act_space)
+        self.single_observation_space = obs_space
+        self.single_action_space = act_space
         self.observation_space = batch_space(self.single_observation_space, num_envs)
         self.action_space = batch_space(self.single_action_space, num_envs)
 
         self._batched = vectorize_func_env(func_env, num_envs)
-        step_fn = make_autoreset_step(
-            self._batched,
-            self.params,
-            time_limit=max_episode_steps,
-            autoreset=autoreset_mode == AutoresetMode.NEXT_STEP,
-        )
-        init_fn = lambda rng: make_initial_carry(self._batched, rng, self.params)
+        step_fn = self._make_step()
+        init_fn = self._make_init()
         if jit:
             # Donating the carry lets XLA update env state in place.
             self._step_fn = jax.jit(step_fn, donate_argnums=0)
@@ -87,6 +92,33 @@ class JaxVectorEnv(VectorEnv):
         self._seed = seed if seed is not None else 0
         self.carry: EnvCarry | None = None
         self._rollout_cache: dict[Any, Callable] = {}
+
+    def _make_step(self):
+        """The pure ``(carry, action) -> (carry, TimeStep)`` step, with the
+        functional wrapper stack (if any) folded in."""
+        step_fn = make_autoreset_step(
+            self._batched,
+            self.params,
+            time_limit=self.time_limit,
+            autoreset=self.autoreset_mode == AutoresetMode.NEXT_STEP,
+        )
+        if self.wrappers:
+            from gymnasium_tpu.wrappers.func import wrap_autoreset_step
+
+            step_fn = wrap_autoreset_step(step_fn, self.wrappers)
+        return step_fn
+
+    def _make_init(self):
+        def init_fn(rng):
+            if not self.wrappers:
+                return make_initial_carry(self._batched, rng, self.params)
+            from gymnasium_tpu.wrappers.func import wrap_initial
+
+            rng, k_wrap = jax.random.split(rng)
+            carry, obs = make_initial_carry(self._batched, rng, self.params)
+            return wrap_initial(self.wrappers, k_wrap, carry, obs, self.params)
+
+        return init_fn
 
     # -- sharding ----------------------------------------------------------
 
@@ -168,12 +200,7 @@ class JaxVectorEnv(VectorEnv):
             else:
                 sample_actions = action_fn
 
-            step_fn = make_autoreset_step(
-                self._batched,
-                self.params,
-                time_limit=self.time_limit,
-                autoreset=self.autoreset_mode == AutoresetMode.NEXT_STEP,
-            )
+            step_fn = self._make_step()
 
             def scan_body(carry, _):
                 env_carry, rng = carry
@@ -184,7 +211,8 @@ class JaxVectorEnv(VectorEnv):
 
             @jax.jit
             def run(carry):
-                rng = jax.random.fold_in(carry.rng, 1)
+                base = carry.env if self.wrappers else carry
+                rng = jax.random.fold_in(base.rng, 1)
                 (env_carry, _), traj = jax.lax.scan(
                     scan_body, (carry, rng), None, length=num_steps, unroll=unroll
                 )

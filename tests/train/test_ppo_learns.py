@@ -68,3 +68,70 @@ def test_ppo_train_step_deterministic():
         state, metrics = step(state)
         outs.append(float(metrics["reward_per_step"]))
     assert outs[0] == outs[1]
+
+
+def test_ppo_with_functional_wrappers_halfcheetah():
+    """VERDICT r1 item 1 'done' criterion: PPO on HalfCheetah with obs AND
+    reward normalization running entirely inside one jitted train step —
+    the wrapper states (RMS stats, return accumulators) thread through the
+    compiled program and evolve across updates."""
+    from gymnasium_tpu.envs.mujoco.half_cheetah import HalfCheetahFunctional
+    from gymnasium_tpu.wrappers.func import (
+        EpisodeStatistics,
+        NormalizeObservation,
+        NormalizeReward,
+    )
+
+    wrappers = (NormalizeObservation(), NormalizeReward(), EpisodeStatistics())
+    config = PPOConfig(
+        num_envs=8,
+        rollout_steps=8,
+        hidden_sizes=(32, 32),
+        num_minibatches=2,
+        update_epochs=1,
+        max_episode_steps=50,
+    )
+    func_env = HalfCheetahFunctional()
+    state, params, tx = init_ppo(func_env, config, jax.random.PRNGKey(0), wrappers=wrappers)
+    step = jax.jit(make_train_step(func_env, config, params, tx, wrappers=wrappers))
+
+    obs_rms0 = state.env_carry.wrappers[0]
+    state, metrics = step(state)
+    state, metrics = step(state)
+    jax.block_until_ready(metrics)
+
+    # normalization statistics actually accumulated on-device
+    obs_rms = state.env_carry.wrappers[0]
+    assert float(obs_rms.count) > float(obs_rms0.count) + 100
+    rew_state = state.env_carry.wrappers[1]
+    assert float(rew_state.rms.count) > 1
+    # normalized observations fed the policy: stored obs is standardized-ish
+    import numpy as np
+
+    o = np.asarray(state.obs)
+    assert np.all(np.isfinite(o)) and np.abs(o).max() < 50
+
+
+def test_ppo_wrapped_cartpole_still_learns():
+    """Normalization folded into the train step must not break learning."""
+    from gymnasium_tpu.wrappers.func import NormalizeObservation, NormalizeReward
+
+    wrappers = (NormalizeObservation(), NormalizeReward())
+    config = PPOConfig(
+        num_envs=64, rollout_steps=64, hidden_sizes=(32, 32),
+        num_minibatches=4, update_epochs=2, max_episode_steps=500,
+    )
+    func_env = CartPoleFunctional()
+    state, params, tx = init_ppo(func_env, config, jax.random.PRNGKey(0), wrappers=wrappers)
+    step = jax.jit(make_train_step(func_env, config, params, tx, wrappers=wrappers))
+    state, metrics = step(state)
+    # raw reward/step is hidden behind normalization; use episode count as
+    # the learning signal: fewer finished episodes = longer survival
+    first_eps = float(metrics["episodes_finished"])
+    for _ in range(60):
+        state, metrics = step(state)
+    jax.block_until_ready(metrics)
+    last_eps = float(metrics["episodes_finished"])
+    assert last_eps < first_eps * 0.7, (
+        f"no learning under wrapped train step: episodes {first_eps} -> {last_eps}"
+    )
