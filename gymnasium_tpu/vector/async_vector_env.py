@@ -1,10 +1,12 @@
 """AsyncVectorEnv: process-parallel host-side vectorization.
 
-Parity with reference gymnasium/vector/async_vector_env.py:54-859 — one OS
-process per sub-env over multiprocessing pipes, split-phase
-``step_async``/``step_wait`` with an AsyncState machine, optional
-shared-memory observation transport, worker crash propagation through an
-error queue, and graceful/terminate close.
+Behavior parity with reference gymnasium/vector/async_vector_env.py:54-859
+(public API, AsyncState guard semantics, autoreset modes, shared-memory
+transport, crash propagation, close escalation) — internals are this repo's
+own design: a per-sub-env :class:`_Peer` handle owning the pipe/process pair,
+a single phase guard (`_arm`/`_collect`) shared by every split-phase call,
+and a worker built from a command dispatch table with the autoreset policy
+chosen once at startup instead of branched per step.
 
 TPU-native note: this transport exists for host Python envs only. Device
 envs never cross a process boundary — see
@@ -16,10 +18,9 @@ from __future__ import annotations
 import multiprocessing
 import sys
 import time
+import traceback
 from copy import deepcopy
 from enum import Enum
-from multiprocessing import Queue
-from multiprocessing.connection import Connection
 from typing import Any, Callable, Sequence
 
 import numpy as np
@@ -50,12 +51,42 @@ __all__ = ["AsyncVectorEnv", "AsyncState"]
 
 
 class AsyncState(Enum):
-    """Pending-call state of the async env (reference async_vector_env.py:45-51)."""
+    """Which split-phase call (if any) is outstanding."""
 
     DEFAULT = "default"
     WAITING_RESET = "reset"
     WAITING_STEP = "step"
     WAITING_CALL = "call"
+
+
+class _Peer:
+    """Parent-side handle for one worker: pipe + process + liveness."""
+
+    def __init__(self, index: int, process, pipe):
+        self.index = index
+        self.process = process
+        self.pipe = pipe
+
+    def post(self, command: str, payload: Any = None) -> None:
+        self.pipe.send((command, payload))
+
+    def fetch(self) -> tuple[Any, bool]:
+        """One ``(result, ok)`` reply."""
+        return self.pipe.recv()
+
+    def readable_by(self, deadline: float | None) -> bool:
+        """Whether a reply arrives before ``deadline`` (None = block)."""
+        if self.pipe is None or self.pipe.closed:
+            return False
+        if deadline is None:
+            return True
+        return self.pipe.poll(max(deadline - time.perf_counter(), 0))
+
+    def drop(self) -> None:
+        """Close the pipe and forget it (worker died or was shut down)."""
+        if self.pipe is not None:
+            self.pipe.close()
+            self.pipe = None
 
 
 class AsyncVectorEnv(VectorEnv):
@@ -81,46 +112,62 @@ class AsyncVectorEnv(VectorEnv):
         self.worker = worker
         self.observation_mode = observation_mode
         self.autoreset_mode = (
-            AutoresetMode(autoreset_mode) if isinstance(autoreset_mode, str) else autoreset_mode
+            AutoresetMode(autoreset_mode)
+            if isinstance(autoreset_mode, str)
+            else autoreset_mode
         )
         assert isinstance(self.autoreset_mode, AutoresetMode)
 
-        # A dummy env supplies spaces and metadata without starting workers.
-        dummy_env = env_fns[0]()
-        self.metadata = dummy_env.metadata
-        self.metadata["autoreset_mode"] = self.autoreset_mode
-        self.render_mode = dummy_env.render_mode
-
-        self.single_action_space = dummy_env.action_space
-        self.action_space = batch_space(self.single_action_space, self.num_envs)
-
-        if isinstance(observation_mode, tuple) and len(observation_mode) == 2:
-            assert isinstance(observation_mode[0], type(dummy_env.observation_space).__mro__[-2]) or True
-            self.observation_space, self.single_observation_space = observation_mode
-        elif observation_mode == "same":
-            self.single_observation_space = dummy_env.observation_space
-            self.observation_space = batch_space(self.single_observation_space, self.num_envs)
-        elif observation_mode == "different":
-            # spaces collected from the workers below via _check_spaces
-            env_spaces = [env_fn().observation_space for env_fn in self.env_fns]
-            self.single_observation_space = env_spaces[0]
-            self.observation_space = batch_differing_spaces(env_spaces)
-        else:
-            raise ValueError(
-                f"Invalid `observation_mode`, expected: 'same' or 'different' or tuple of single and batch observation space, actual got {observation_mode}"
-            )
-
-        dummy_env.close()
-        del dummy_env
+        self._resolve_spaces_and_metadata()
 
         ctx = multiprocessing.get_context(context)
+        self._shm = self._allocate_observation_buffers(ctx)
+        self.error_queue = ctx.Queue()
+        self._peers: list[_Peer | None] = []
+        self._spawn_workers(ctx)
+
+        self._pending = AsyncState.DEFAULT
+        self._validate_worker_spaces()
+
+    # -- construction helpers ----------------------------------------------
+
+    def _resolve_spaces_and_metadata(self) -> None:
+        """Instantiate one throwaway env for metadata + spaces; in
+        ``observation_mode='different'`` sample every env's space."""
+        probe = self.env_fns[0]()
+        self.metadata = probe.metadata
+        self.metadata["autoreset_mode"] = self.autoreset_mode
+        self.render_mode = probe.render_mode
+
+        self.single_action_space = probe.action_space
+        self.action_space = batch_space(self.single_action_space, self.num_envs)
+
+        mode = self.observation_mode
+        if isinstance(mode, tuple) and len(mode) == 2:
+            # caller supplies (batched, single) spaces directly
+            self.observation_space, self.single_observation_space = mode
+        elif mode == "same":
+            self.single_observation_space = probe.observation_space
+            self.observation_space = batch_space(
+                self.single_observation_space, self.num_envs
+            )
+        elif mode == "different":
+            per_env = [fn().observation_space for fn in self.env_fns]
+            self.single_observation_space = per_env[0]
+            self.observation_space = batch_differing_spaces(per_env)
+        else:
+            raise ValueError(
+                f"Invalid `observation_mode`, expected: 'same' or 'different' or tuple of single and batch observation space, actual got {mode}"
+            )
+        probe.close()
+
+    def _allocate_observation_buffers(self, ctx):
+        """Shared-memory blocks (workers write, parent views zero-copy) or a
+        plain preallocated batch array filled from pickled replies."""
         if self.shared_memory:
             try:
-                _obs_buffer = create_shared_memory(
+                shm = create_shared_memory(
                     self.single_observation_space, n=self.num_envs, ctx=ctx
-                )
-                self.observations = read_from_shared_memory(
-                    self.single_observation_space, _obs_buffer, n=self.num_envs
                 )
             except CustomSpaceError as e:
                 raise ValueError(
@@ -128,51 +175,134 @@ class AsyncVectorEnv(VectorEnv):
                     "(i.e. custom spaces inheriting from `gymnasium_tpu.Space`), and is only compatible with default Gymnasium spaces "
                     "(e.g. `Box`, `Tuple`, `Dict`) for batching. Set `shared_memory=False` if you use custom spaces."
                 ) from e
-        else:
-            _obs_buffer = None
-            self.observations = create_empty_array(
-                self.single_observation_space, n=self.num_envs, fn=np.zeros
+            self.observations = read_from_shared_memory(
+                self.single_observation_space, shm, n=self.num_envs
             )
+            return shm
+        self.observations = create_empty_array(
+            self.single_observation_space, n=self.num_envs, fn=np.zeros
+        )
+        return None
 
-        self.parent_pipes: list[Connection] = []
-        self.processes = []
-        self.error_queue: Queue = ctx.Queue()
-
-        target = worker if worker is not None else _async_worker
+    def _spawn_workers(self, ctx) -> None:
+        entry = self.worker if self.worker is not None else _worker_main
         with clear_mpi_env_vars():
-            for idx, env_fn in enumerate(self.env_fns):
-                parent_pipe, child_pipe = ctx.Pipe()
-                process = ctx.Process(
-                    target=target,
-                    name=f"Worker<{type(self).__name__}>-{idx}",
+            for index, env_fn in enumerate(self.env_fns):
+                ours, theirs = ctx.Pipe()
+                proc = ctx.Process(
+                    target=entry,
+                    name=f"Worker<{type(self).__name__}>-{index}",
                     args=(
-                        idx,
+                        index,
                         CloudpickleWrapper(env_fn),
-                        child_pipe,
-                        parent_pipe,
-                        _obs_buffer,
+                        theirs,
+                        ours,
+                        self._shm,
                         self.error_queue,
                         self.autoreset_mode,
                     ),
                 )
-                self.parent_pipes.append(parent_pipe)
-                self.processes.append(process)
-                process.daemon = daemon
-                process.start()
-                child_pipe.close()
+                proc.daemon = self.daemon
+                proc.start()
+                theirs.close()
+                self._peers.append(_Peer(index, proc, ours))
 
-        self._state = AsyncState.DEFAULT
-        self._check_spaces()
+    def _validate_worker_spaces(self) -> None:
+        payload = (
+            self.observation_mode,
+            self.single_observation_space,
+            self.single_action_space,
+        )
+        self._arm(AsyncState.WAITING_CALL, "_check_spaces")
+        self._broadcast("_check_spaces", payload)
+        results = self._collect(AsyncState.WAITING_CALL, "_check_spaces", None)
+        obs_ok, act_ok = zip(*results)
+        if not all(obs_ok):
+            if self.observation_mode == "same":
+                raise RuntimeError(
+                    "AsyncVectorEnv(..., observation_mode='same') however some of the sub-environments observation spaces are not equivalent. "
+                    "If this is intentional, use `observation_mode='different'` instead."
+                )
+            raise RuntimeError(
+                "AsyncVectorEnv(..., observation_mode='different') however the sub-environment observation spaces do not share a common shape and dtype."
+            )
+        if not all(act_ok):
+            raise RuntimeError(
+                f"Some environments have an action space different from `{self.single_action_space}`. "
+                "In order to batch actions, the action spaces from all environments must be equal."
+            )
 
-    @property
-    def np_random_seed(self) -> tuple[int, ...]:
-        """Seeds of all sub-environments."""
-        return self.get_attr("np_random_seed")
+    # -- phase guard (shared by every split-phase call) --------------------
 
-    @property
-    def np_random(self) -> tuple[np.random.Generator, ...]:
-        """Generators of all sub-environments."""
-        return self.get_attr("np_random")
+    def _ensure_open(self) -> None:
+        if self.closed:
+            raise ClosedEnvironmentError(
+                f"Trying to operate on `{type(self).__name__}`, after a call to `close()`."
+            )
+
+    def _arm(self, phase: AsyncState, op: str) -> None:
+        """Enter ``phase``; reject when another call is already pending."""
+        self._ensure_open()
+        if self._pending != AsyncState.DEFAULT:
+            raise AlreadyPendingCallError(
+                f"Calling `{op}` while waiting for a pending call to `{self._pending.value}` to complete.",
+                str(self._pending.value),
+            )
+        self._pending = phase
+
+    def _collect(
+        self, phase: AsyncState, op: str, timeout: int | float | None
+    ) -> list[Any]:
+        """Gather one reply per worker for the armed ``phase``.
+
+        Raises ``multiprocessing.TimeoutError`` (phase cleared) if any worker
+        misses the deadline; surfaces worker exceptions; returns the
+        successful results in env order.
+        """
+        self._ensure_open()
+        if self._pending != phase:
+            raise NoAsyncCallError(
+                f"Calling `{op}_wait` without any prior call to `{op}_async`.",
+                phase.value,
+            )
+
+        deadline = None if timeout is None else time.perf_counter() + timeout
+        if not all(p is not None and p.readable_by(deadline) for p in self._peers):
+            self._pending = AsyncState.DEFAULT
+            raise multiprocessing.TimeoutError(
+                f"The call to `{op}_wait` has timed out after {timeout} second(s)."
+            )
+
+        replies = [peer.fetch() for peer in self._peers]
+        self._surface_worker_errors([ok for _, ok in replies])
+        self._pending = AsyncState.DEFAULT
+        return [result for result, ok in replies if ok]
+
+    def _broadcast(self, command: str, payloads: Any = None, per_env: bool = False):
+        if per_env:
+            for peer, payload in zip(self._peers, payloads):
+                peer.post(command, payload)
+        else:
+            for peer in self._peers:
+                peer.post(command, payloads)
+
+    def _surface_worker_errors(self, oks: Sequence[bool]) -> None:
+        failures = len(oks) - sum(oks)
+        if failures == 0:
+            return
+        last_exc: BaseException | None = None
+        for _ in range(failures):
+            index, exctype, value, trace = self.error_queue.get()
+            logger.error(
+                f"Received the following error from Worker-{index} - Shutting it down"
+            )
+            logger.error(f"{trace}")
+            self._peers[index].drop()
+            self._peers[index] = None
+            last_exc = exctype(value)
+        logger.error("Raising the last exception back to the main process.")
+        self._pending = AsyncState.DEFAULT
+        raise last_exc
 
     # -- reset -------------------------------------------------------------
 
@@ -192,78 +322,57 @@ class AsyncVectorEnv(VectorEnv):
         options: dict[str, Any] | None = None,
     ):
         """Send reset commands to the workers."""
-        self._assert_is_running()
-
+        self._ensure_open()
         if seed is None:
-            seed = [None for _ in range(self.num_envs)]
+            seeds: list[int | None] = [None] * self.num_envs
         elif isinstance(seed, int):
-            seed = [seed + i for i in range(self.num_envs)]
-        assert len(seed) == self.num_envs, (
-            f"If seeds are passed as a list the length must match num_envs={self.num_envs} but got length={len(seed)}."
+            seeds = [seed + i for i in range(self.num_envs)]
+        else:
+            seeds = list(seed)
+        assert len(seeds) == self.num_envs, (
+            f"If seeds are passed as a list the length must match num_envs={self.num_envs} but got length={len(seeds)}."
         )
 
-        if self._state != AsyncState.DEFAULT:
-            raise AlreadyPendingCallError(
-                f"Calling `reset_async` while waiting for a pending call to `{self._state.value}` to complete",
-                str(self._state.value),
+        mask = np.ones(self.num_envs, dtype=np.bool_)
+        if options is not None and "reset_mask" in options:
+            mask = options.pop("reset_mask")
+            assert isinstance(mask, np.ndarray), (
+                f"`options['reset_mask': mask]` must be a numpy array, got {type(mask)}"
+            )
+            assert mask.shape == (self.num_envs,), (
+                f"`options['reset_mask': mask]` must have shape `({self.num_envs},)`, got {mask.shape}"
+            )
+            assert mask.dtype == np.bool_, (
+                f"`options['reset_mask': mask]` must have `dtype=np.bool_`, got {mask.dtype}"
+            )
+            assert np.any(mask), (
+                f"`options['reset_mask': mask]` must contain a boolean array, got reset_mask={mask}"
             )
 
-        if options is not None and "reset_mask" in options:
-            reset_mask = options.pop("reset_mask")
-            assert isinstance(reset_mask, np.ndarray), (
-                f"`options['reset_mask': mask]` must be a numpy array, got {type(reset_mask)}"
-            )
-            assert reset_mask.shape == (self.num_envs,), (
-                f"`options['reset_mask': mask]` must have shape `({self.num_envs},)`, got {reset_mask.shape}"
-            )
-            assert reset_mask.dtype == np.bool_, (
-                f"`options['reset_mask': mask]` must have `dtype=np.bool_`, got {reset_mask.dtype}"
-            )
-            assert np.any(reset_mask), (
-                f"`options['reset_mask': mask]` must contain a boolean array, got reset_mask={reset_mask}"
-            )
-            for pipe, env_seed, env_reset in zip(self.parent_pipes, seed, reset_mask):
-                if env_reset:
-                    env_kwargs = {"seed": env_seed, "options": options}
-                    pipe.send(("reset", env_kwargs))
-                else:
-                    pipe.send(("reset-noop", None))
-        else:
-            for pipe, env_seed in zip(self.parent_pipes, seed):
-                env_kwargs = {"seed": env_seed, "options": options}
-                pipe.send(("reset", env_kwargs))
-        self._state = AsyncState.WAITING_RESET
+        self._arm(AsyncState.WAITING_RESET, "reset_async")
+        for peer, env_seed, do_reset in zip(self._peers, seeds, mask):
+            if do_reset:
+                peer.post("reset", {"seed": env_seed, "options": options})
+            else:
+                peer.post("reset-noop")
 
     def reset_wait(self, timeout: int | float | None = None):
         """Collect reset results from the workers."""
-        self._assert_is_running()
-        if self._state != AsyncState.WAITING_RESET:
-            raise NoAsyncCallError(
-                "Calling `reset_wait` without any prior call to `reset_async`.",
-                AsyncState.WAITING_RESET.value,
-            )
+        results = self._collect(AsyncState.WAITING_RESET, "reset", timeout)
 
-        if not self._poll_pipe_envs(timeout):
-            self._state = AsyncState.DEFAULT
-            raise multiprocessing.TimeoutError(
-                f"The call to `reset_wait` has timed out after {timeout} second(s)."
-            )
-
-        results, successes = zip(*[pipe.recv() for pipe in self.parent_pipes])
-        self._raise_if_errors(successes)
-
-        infos = {}
-        results, info_data = zip(*results)
-        for i, info in enumerate(info_data):
-            infos = self._add_info(infos, info, i)
+        infos: dict[str, Any] = {}
+        obs_parts = []
+        for env_idx, (obs, info) in enumerate(results):
+            obs_parts.append(obs)
+            infos = self._add_info(infos, info, env_idx)
 
         if not self.shared_memory:
             self.observations = concatenate(
-                self.single_observation_space, results, self.observations
+                self.single_observation_space, obs_parts, self.observations
             )
-
-        self._state = AsyncState.DEFAULT
-        return (deepcopy(self.observations) if self.copy else self.observations), infos
+        return (
+            deepcopy(self.observations) if self.copy else self.observations
+        ), infos
 
     # -- step --------------------------------------------------------------
 
@@ -274,54 +383,37 @@ class AsyncVectorEnv(VectorEnv):
 
     def step_async(self, actions: np.ndarray):
         """Send actions to the workers."""
-        self._assert_is_running()
-        if self._state != AsyncState.DEFAULT:
-            raise AlreadyPendingCallError(
-                f"Calling `step_async` while waiting for a pending call to `{self._state.value}` to complete.",
-                str(self._state.value),
-            )
-        iter_actions = iterate(self.action_space, actions)
-        # strict: mismatched action count must raise, not silently truncate
-        # (reference async_vector_env.py:416).
-        for pipe, action in zip(self.parent_pipes, iter_actions, strict=True):
-            pipe.send(("step", action))
-        self._state = AsyncState.WAITING_STEP
+        self._arm(AsyncState.WAITING_STEP, "step_async")
+        # strict: a mismatched action count must raise before anything is
+        # sent, not silently truncate against the worker list
+        try:
+            per_env_actions = list(iterate(self.action_space, actions))
+            if len(per_env_actions) != self.num_envs:
+                raise ValueError(
+                    f"Expected {self.num_envs} actions, got {len(per_env_actions)}"
+                )
+        except Exception:
+            self._pending = AsyncState.DEFAULT
+            raise
+        self._broadcast("step", per_env_actions, per_env=True)
 
     def step_wait(self, timeout: int | float | None = None):
         """Collect step results from the workers."""
-        self._assert_is_running()
-        if self._state != AsyncState.WAITING_STEP:
-            raise NoAsyncCallError(
-                "Calling `step_wait` without any prior call to `step_async`.",
-                AsyncState.WAITING_STEP.value,
-            )
+        results = self._collect(AsyncState.WAITING_STEP, "step", timeout)
 
-        if not self._poll_pipe_envs(timeout):
-            self._state = AsyncState.DEFAULT
-            raise multiprocessing.TimeoutError(
-                f"The call to `step_wait` has timed out after {timeout} second(s)."
-            )
-
-        observations, rewards, terminations, truncations, infos = [], [], [], [], {}
-        successes = []
-        for env_idx, pipe in enumerate(self.parent_pipes):
-            env_step_return, success = pipe.recv()
-            successes.append(success)
-            if success:
-                observations.append(env_step_return[0])
-                rewards.append(env_step_return[1])
-                terminations.append(env_step_return[2])
-                truncations.append(env_step_return[3])
-                infos = self._add_info(infos, env_step_return[4], env_idx)
-
-        self._raise_if_errors(successes)
+        infos: dict[str, Any] = {}
+        obs_parts, rewards, terminations, truncations = [], [], [], []
+        for env_idx, (obs, reward, terminated, truncated, info) in enumerate(results):
+            obs_parts.append(obs)
+            rewards.append(reward)
+            terminations.append(terminated)
+            truncations.append(truncated)
+            infos = self._add_info(infos, info, env_idx)
 
         if not self.shared_memory:
             self.observations = concatenate(
-                self.single_observation_space, observations, self.observations
+                self.single_observation_space, obs_parts, self.observations
             )
-
-        self._state = AsyncState.DEFAULT
         return (
             deepcopy(self.observations) if self.copy else self.observations,
             np.array(rewards, dtype=np.float64),
@@ -330,7 +422,7 @@ class AsyncVectorEnv(VectorEnv):
             infos,
         )
 
-    # -- call/get/set ------------------------------------------------------
+    # -- call / get / set --------------------------------------------------
 
     def call(self, name: str, *args: Any, **kwargs: Any) -> tuple[Any, ...]:
         """Call a method on every sub-env and return the results."""
@@ -342,259 +434,229 @@ class AsyncVectorEnv(VectorEnv):
 
     def call_async(self, name: str, *args, **kwargs):
         """Send a method-call command to the workers."""
-        self._assert_is_running()
-        if self._state != AsyncState.DEFAULT:
-            raise AlreadyPendingCallError(
-                f"Calling `call_async` while waiting for a pending call to `{self._state.value}` to complete.",
-                str(self._state.value),
-            )
-        for pipe in self.parent_pipes:
-            pipe.send(("_call", (name, args, kwargs)))
-        self._state = AsyncState.WAITING_CALL
+        self._arm(AsyncState.WAITING_CALL, "call_async")
+        self._broadcast("_call", (name, args, kwargs))
 
     def call_wait(self, timeout: int | float | None = None) -> tuple[Any, ...]:
         """Collect method-call results from the workers."""
-        self._assert_is_running()
-        if self._state != AsyncState.WAITING_CALL:
-            raise NoAsyncCallError(
-                "Calling `call_wait` without any prior call to `call_async`.",
-                AsyncState.WAITING_CALL.value,
-            )
-
-        if not self._poll_pipe_envs(timeout):
-            self._state = AsyncState.DEFAULT
-            raise multiprocessing.TimeoutError(
-                f"The call to `call_wait` has timed out after {timeout} second(s)."
-            )
-
-        results, successes = zip(*[pipe.recv() for pipe in self.parent_pipes])
-        self._raise_if_errors(successes)
-        self._state = AsyncState.DEFAULT
-        return results
+        return tuple(self._collect(AsyncState.WAITING_CALL, "call", timeout))
 
     def get_attr(self, name: str) -> tuple[Any, ...]:
         """Read attribute ``name`` from every sub-env."""
         return self.call(name)
 
     def set_attr(self, name: str, values: list[Any] | tuple[Any] | object):
-        """Set attribute ``name`` on every sub-env."""
-        self._assert_is_running()
+        """Set attribute ``name`` on every sub-env (synchronous)."""
+        self._ensure_open()
         if not isinstance(values, (list, tuple)):
-            values = [values for _ in range(self.num_envs)]
+            values = [values] * self.num_envs
         if len(values) != self.num_envs:
             raise ValueError(
                 "Values must be a list or tuple with length equal to the number of environments. "
                 f"Got `{len(values)}` values for {self.num_envs} environments."
             )
-        if self._state != AsyncState.DEFAULT:
+        if self._pending != AsyncState.DEFAULT:
             raise AlreadyPendingCallError(
-                f"Calling `set_attr` while waiting for a pending call to `{self._state.value}` to complete.",
-                str(self._state.value),
+                f"Calling `set_attr` while waiting for a pending call to `{self._pending.value}` to complete.",
+                str(self._pending.value),
             )
-        for pipe, value in zip(self.parent_pipes, values):
-            pipe.send(("_setattr", (name, value)))
-        _, successes = zip(*[pipe.recv() for pipe in self.parent_pipes])
-        self._raise_if_errors(successes)
+        self._broadcast("_setattr", [(name, v) for v in values], per_env=True)
+        replies = [peer.fetch() for peer in self._peers]
+        self._surface_worker_errors([ok for _, ok in replies])
 
-    # -- close -------------------------------------------------------------
+    @property
+    def processes(self) -> list:
+        """Worker process handles (reference-compatible accessor)."""
+        return [peer.process for peer in self._peers if peer is not None]
+
+    @property
+    def parent_pipes(self) -> list:
+        """Parent ends of the worker pipes (reference-compatible accessor)."""
+        return [None if peer is None else peer.pipe for peer in self._peers]
+
+    @property
+    def np_random_seed(self) -> tuple[int, ...]:
+        """Seeds of all sub-environments."""
+        return self.get_attr("np_random_seed")
+
+    @property
+    def np_random(self) -> tuple[np.random.Generator, ...]:
+        """Generators of all sub-environments."""
+        return self.get_attr("np_random")
+
+    # -- shutdown ----------------------------------------------------------
 
     def close_extras(self, timeout: int | float | None = None, terminate: bool = False):
         """Shut down the worker processes; escalate to terminate on timeout."""
         timeout = 0 if terminate else timeout
         try:
-            if self._state != AsyncState.DEFAULT:
+            if self._pending != AsyncState.DEFAULT:
                 logger.warn(
-                    f"Calling `close` while waiting for a pending call to `{self._state.value}` to complete."
+                    f"Calling `close` while waiting for a pending call to `{self._pending.value}` to complete."
                 )
-                function = getattr(self, f"{self._state.value}_wait")
-                function(timeout)
+                drain = getattr(self, f"{self._pending.value}_wait")
+                drain(timeout)
         except multiprocessing.TimeoutError:
             terminate = True
 
         if terminate:
-            for process in self.processes:
-                if process.is_alive():
-                    process.terminate()
+            for peer in self._peers:
+                if peer is not None and peer.process.is_alive():
+                    peer.process.terminate()
         else:
-            for pipe in self.parent_pipes:
-                if (pipe is not None) and (not pipe.closed):
-                    pipe.send(("close", None))
-            for pipe in self.parent_pipes:
-                if (pipe is not None) and (not pipe.closed):
-                    pipe.recv()
+            for peer in self._peers:
+                if peer is not None and peer.pipe is not None and not peer.pipe.closed:
+                    peer.post("close")
+            for peer in self._peers:
+                if peer is not None and peer.pipe is not None and not peer.pipe.closed:
+                    peer.fetch()
 
-        for pipe in self.parent_pipes:
-            if pipe is not None:
-                pipe.close()
-        for process in self.processes:
-            process.join()
-
-    def _poll_pipe_envs(self, timeout: int | None = None):
-        self._assert_is_running()
-        if timeout is None:
-            return True
-        end_time = time.perf_counter() + timeout
-        for pipe in self.parent_pipes:
-            delta = max(end_time - time.perf_counter(), 0)
-            if pipe is None:
-                return False
-            if pipe.closed or (not pipe.poll(delta)):
-                return False
-        return True
-
-    def _check_spaces(self):
-        self._assert_is_running()
-        spaces_tuple = (self.single_observation_space, self.single_action_space)
-        for pipe in self.parent_pipes:
-            pipe.send(("_check_spaces", (self.observation_mode, *spaces_tuple)))
-        results, successes = zip(*[pipe.recv() for pipe in self.parent_pipes])
-        self._raise_if_errors(successes)
-        same_observation_spaces, same_action_spaces = zip(*results)
-        if not all(same_observation_spaces):
-            if self.observation_mode == "same":
-                raise RuntimeError(
-                    "AsyncVectorEnv(..., observation_mode='same') however some of the sub-environments observation spaces are not equivalent. "
-                    "If this is intentional, use `observation_mode='different'` instead."
-                )
-            raise RuntimeError(
-                "AsyncVectorEnv(..., observation_mode='different') however the sub-environment observation spaces do not share a common shape and dtype."
-            )
-        if not all(same_action_spaces):
-            raise RuntimeError(
-                f"Some environments have an action space different from `{self.single_action_space}`. "
-                "In order to batch actions, the action spaces from all environments must be equal."
-            )
-
-    def _assert_is_running(self):
-        if self.closed:
-            raise ClosedEnvironmentError(
-                f"Trying to operate on `{type(self).__name__}`, after a call to `close()`."
-            )
-
-    def _raise_if_errors(self, successes: list[bool] | tuple[bool]):
-        if all(successes):
-            return
-        num_errors = self.num_envs - sum(successes)
-        assert num_errors > 0
-        for i in range(num_errors):
-            index, exctype, value, trace = self.error_queue.get()
-            logger.error(
-                f"Received the following error from Worker-{index} - Shutting it down"
-            )
-            logger.error(f"{trace}")
-            self.parent_pipes[index].close()
-            self.parent_pipes[index] = None
-            if i == num_errors - 1:
-                logger.error("Raising the last exception back to the main process.")
-                self._state = AsyncState.DEFAULT
-                raise exctype(value)
+        for peer in self._peers:
+            if peer is not None:
+                peer.drop()
+                peer.process.join()
 
     def __del__(self):
-        if not getattr(self, "closed", True) and hasattr(self, "_state"):
+        if not getattr(self, "closed", True) and hasattr(self, "_pending"):
             self.close(terminate=True)
 
 
-def _async_worker(
+# ---------------------------------------------------------------------------
+# Worker process
+# ---------------------------------------------------------------------------
+
+
+def _stepper_for(mode: AutoresetMode, env: Env):
+    """Select the per-mode step policy ONCE at worker startup.
+
+    Each policy is ``step(action, needs_reset) -> (result5, needs_reset)``
+    where ``result5 = (obs, reward, terminated, truncated, info)``.
+    """
+    if mode == AutoresetMode.NEXT_STEP:
+
+        def step(action, needs_reset):
+            # the step after a done ignores the action and resets
+            if needs_reset:
+                obs, info = env.reset()
+                return (obs, 0.0, False, False, info), False
+            obs, reward, terminated, truncated, info = env.step(action)
+            return (obs, reward, terminated, truncated, info), bool(
+                terminated or truncated
+            )
+
+    elif mode == AutoresetMode.SAME_STEP:
+
+        def step(action, needs_reset):
+            obs, reward, terminated, truncated, info = env.step(action)
+            if terminated or truncated:
+                final_obs, final_info = obs, info
+                obs, reset_info = env.reset()
+                info = {
+                    "final_info": final_info,
+                    "final_obs": final_obs,
+                    **reset_info,
+                }
+            return (obs, reward, terminated, truncated, info), False
+
+    elif mode == AutoresetMode.DISABLED:
+
+        def step(action, needs_reset):
+            assert needs_reset is False
+            return env.step(action), False
+
+    else:
+        raise ValueError(f"Unexpected autoreset_mode: {mode}")
+
+    return step
+
+
+def _worker_main(
     index: int,
     env_fn: Callable,
-    pipe: Connection,
-    parent_pipe: Connection,
+    pipe,
+    parent_pipe,
     shared_memory: Any,
-    error_queue: Queue,
+    error_queue,
     autoreset_mode: AutoresetMode,
 ):
-    """Worker loop executed in each child process
-    (reference async_vector_env.py:728-859)."""
-    import traceback
-
+    """Child-process entry: a dispatch-table command loop around one env."""
     env = env_fn()
-    observation_space = env.observation_space
-    action_space = env.action_space
-    autoreset = False
-    observation = None
-
     parent_pipe.close()
+
+    step_policy = _stepper_for(autoreset_mode, env)
+    # mutable per-episode slot shared by the handlers
+    slot = {"needs_reset": False, "last_obs": None}
+
+    def publish(obs):
+        """Route the observation: into shared memory (reply None) or back
+        through the pipe."""
+        if shared_memory:
+            write_to_shared_memory(env.observation_space, index, obs, shared_memory)
+            return None
+        return obs
+
+    def on_reset(payload):
+        obs, info = env.reset(**payload)
+        slot["needs_reset"] = False
+        slot["last_obs"] = publish(obs)
+        return (slot["last_obs"], info)
+
+    def on_reset_noop(payload):
+        return (slot["last_obs"], {})
+
+    def on_step(action):
+        result, slot["needs_reset"] = step_policy(action, slot["needs_reset"])
+        obs, reward, terminated, truncated, info = result
+        slot["last_obs"] = publish(obs)
+        return (slot["last_obs"], reward, terminated, truncated, info)
+
+    def on_call(payload):
+        name, args, kwargs = payload
+        if name in ("reset", "step", "close", "_setattr", "_check_spaces"):
+            raise ValueError(
+                f"Trying to call function `{name}` with `call`, use `{name}` directly instead."
+            )
+        attr = env.get_wrapper_attr(name)
+        return attr(*args, **kwargs) if callable(attr) else attr
+
+    def on_setattr(payload):
+        name, value = payload
+        env.set_wrapper_attr(name, value)
+        return None
+
+    def on_check_spaces(payload):
+        obs_mode, single_obs_space, single_act_space = payload
+        obs_ok = (
+            single_obs_space == env.observation_space
+            if obs_mode == "same"
+            else is_space_dtype_shape_equiv(single_obs_space, env.observation_space)
+        )
+        return (obs_ok, single_act_space == env.action_space)
+
+    handlers = {
+        "reset": on_reset,
+        "reset-noop": on_reset_noop,
+        "step": on_step,
+        "_call": on_call,
+        "_setattr": on_setattr,
+        "_check_spaces": on_check_spaces,
+    }
 
     try:
         while True:
-            command, data = pipe.recv()
-            if command == "reset":
-                observation, info = env.reset(**data)
-                if shared_memory:
-                    write_to_shared_memory(observation_space, index, observation, shared_memory)
-                    observation = None
-                autoreset = False
-                pipe.send(((observation, info), True))
-            elif command == "reset-noop":
-                pipe.send(((observation, {}), True))
-            elif command == "step":
-                if autoreset_mode == AutoresetMode.NEXT_STEP:
-                    if autoreset:
-                        observation, info = env.reset()
-                        reward, terminated, truncated = 0.0, False, False
-                    else:
-                        observation, reward, terminated, truncated, info = env.step(data)
-                    autoreset = terminated or truncated
-                elif autoreset_mode == AutoresetMode.SAME_STEP:
-                    observation, reward, terminated, truncated, info = env.step(data)
-                    if terminated or truncated:
-                        reset_observation, reset_info = env.reset()
-                        info = {
-                            "final_info": info,
-                            "final_obs": observation,
-                            **reset_info,
-                        }
-                        observation = reset_observation
-                elif autoreset_mode == AutoresetMode.DISABLED:
-                    assert autoreset is False
-                    observation, reward, terminated, truncated, info = env.step(data)
-                else:
-                    raise ValueError(f"Unexpected autoreset_mode: {autoreset_mode}")
-
-                if shared_memory:
-                    write_to_shared_memory(observation_space, index, observation, shared_memory)
-                    observation = None
-
-                pipe.send(((observation, reward, terminated, truncated, info), True))
-            elif command == "close":
+            command, payload = pipe.recv()
+            if command == "close":
                 pipe.send((None, True))
                 break
-            elif command == "_call":
-                name, args, kwargs = data
-                if name in ("reset", "step", "close", "_setattr", "_check_spaces"):
-                    raise ValueError(
-                        f"Trying to call function `{name}` with `call`, use `{name}` directly instead."
-                    )
-                attr = env.get_wrapper_attr(name)
-                if callable(attr):
-                    pipe.send((attr(*args, **kwargs), True))
-                else:
-                    pipe.send((attr, True))
-            elif command == "_setattr":
-                name, value = data
-                env.set_wrapper_attr(name, value)
-                pipe.send((None, True))
-            elif command == "_check_spaces":
-                obs_mode, single_obs_space, single_action_space = data
-                pipe.send(
-                    (
-                        (
-                            (single_obs_space == observation_space)
-                            if obs_mode == "same"
-                            else is_space_dtype_shape_equiv(single_obs_space, observation_space),
-                            single_action_space == action_space,
-                        ),
-                        True,
-                    )
-                )
-            else:
+            handler = handlers.get(command)
+            if handler is None:
                 raise RuntimeError(
                     f"Received unknown command `{command}`. Must be one of [`reset`, `step`, `close`, `_call`, `_setattr`, `_check_spaces`]."
                 )
+            pipe.send((handler(payload), True))
     except (KeyboardInterrupt, Exception):
-        error_type, error_message, _ = sys.exc_info()
-        trace = traceback.format_exc()
-        error_queue.put((index, error_type, error_message, trace))
+        exc_type, exc_value, _ = sys.exc_info()
+        error_queue.put((index, exc_type, exc_value, traceback.format_exc()))
         pipe.send((None, False))
     finally:
         env.close()
