@@ -12,7 +12,6 @@ from typing import Any
 import numpy as np
 
 from gymnasium_tpu import spaces
-from gymnasium_tpu.envs.mujoco.free_root import euler_rates_to_omega, euler_to_quat
 from gymnasium_tpu.envs.mujoco.locomotion import MujocoFuncEnv
 from gymnasium_tpu.envs.mujoco.mujoco_env import MujocoEnv
 from gymnasium_tpu.utils.ezpickle import EzPickle
@@ -74,18 +73,18 @@ class AntEnv(MujocoEnv, EzPickle):
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,
         )
-        self._z0 = float(self.model.bodies.pos[0][2])
 
     def _sample_initial_state(self):
         noise = self._reset_noise_scale
-        qpos = self.init_qpos + self.np_random.uniform(-noise, noise, self.model.nv)
+        qpos = self.init_qpos + self.np_random.uniform(-noise, noise, self.model.nq)
+        qpos[3:7] /= np.linalg.norm(qpos[3:7]) + 1e-24
         qvel = self.init_qvel + noise * self.np_random.standard_normal(self.model.nv)
         return qpos, qvel
 
     @property
     def torso_z(self) -> float:
         """Absolute torso height."""
-        return self._z0 + float(self.qpos[2])
+        return float(self.qpos[2])
 
     def is_healthy(self) -> bool:
         min_z, max_z = self._healthy_z_range
@@ -94,11 +93,12 @@ class AntEnv(MujocoEnv, EzPickle):
         )
 
     def _get_obs(self) -> np.ndarray:
-        quat = euler_to_quat(np, self.qpos[3:6])
-        omega = euler_rates_to_omega(np, self.qpos[3:6], self.qvel[3:6])
+        # free root carries the quaternion directly (qpos[3:7]); qvel[3:6]
+        # is the body-frame angular velocity — both exactly MuJoCo's layout
+        quat = self.qpos[3:7]
         z = np.array([self.torso_z])
-        joints = self.qpos[6:]
-        qvel = np.concatenate([self.qvel[:3], omega, self.qvel[6:]])
+        joints = self.qpos[7:]
+        qvel = self.qvel
         parts = [] if self._exclude_xy else [self.qpos[:2]]
         parts += [z, quat, joints, qvel]
         if self._include_cfrc:
@@ -149,17 +149,14 @@ class AntFunctional(MujocoFuncEnv):
     def __init__(self, options: dict[str, Any] | None = None):
         super().__init__(options)
         self.observation_space = spaces.Box(-np.inf, np.inf, (105,), np.float64)
-        self._z0 = float(self.model.bodies.pos[0][2])
 
     def observation(self, state, rng, params: Any = None):
         import jax.numpy as jnp
 
         q, qd = state["qpos"], state["qvel"]
-        quat = euler_to_quat(jnp, q[3:6])
-        omega = euler_rates_to_omega(jnp, q[3:6], qd[3:6])
-        z = jnp.asarray([self._z0 + q[2]])
+        z = jnp.asarray([q[2]])
         cfrc_ext = self._dyn["contact_wrenches"](q, qd).reshape(-1)
-        return jnp.concatenate([z, quat, q[6:], qd[:3], omega, qd[6:], cfrc_ext])
+        return jnp.concatenate([z, q[3:7], q[7:], qd, cfrc_ext])
 
     def reward(self, state, action, next_state, rng, params: Any = None):
         import jax.numpy as jnp
@@ -168,13 +165,13 @@ class AntFunctional(MujocoFuncEnv):
         ctrl_cost = 0.5 * jnp.sum(jnp.square(action))
         cfrc = self._dyn["contact_wrenches"](next_state["qpos"], next_state["qvel"])
         contact_cost = 5e-4 * jnp.sum(jnp.square(jnp.clip(cfrc, -1.0, 1.0)))
-        z = self._z0 + next_state["qpos"][2]
+        z = next_state["qpos"][2]
         healthy = (z >= 0.2) & (z <= 1.0)
         return x_velocity + jnp.where(healthy, 1.0, 0.0) - ctrl_cost - contact_cost
 
     def terminal(self, state, rng, params: Any = None):
         import jax.numpy as jnp
 
-        z = self._z0 + state["qpos"][2]
+        z = state["qpos"][2]
         finite = jnp.all(jnp.isfinite(state["qpos"])) & jnp.all(jnp.isfinite(state["qvel"]))
         return ~((z >= 0.2) & (z <= 1.0) & finite)

@@ -13,7 +13,6 @@ from typing import Any
 import numpy as np
 
 from gymnasium_tpu import spaces
-from gymnasium_tpu.envs.mujoco.free_root import euler_rates_to_omega, euler_to_quat
 from gymnasium_tpu.envs.mujoco.locomotion import MujocoFuncEnv
 from gymnasium_tpu.envs.mujoco.mujoco_env import MujocoEnv
 from gymnasium_tpu.utils.ezpickle import EzPickle
@@ -117,14 +116,13 @@ class HumanoidEnv(MujocoEnv, EzPickle):
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,
         )
-        self._z0 = float(self.model.bodies.pos[0][2])
         self._cinert = _com_inertia_block(self.model)
         self._last_ctrl = np.zeros(self.model.nu)
 
     @property
     def torso_z(self) -> float:
         """Absolute torso height."""
-        return self._z0 + float(self.qpos[2])
+        return float(self.qpos[2])
 
     def is_healthy(self) -> bool:
         min_z, max_z = self._healthy_z_range
@@ -133,11 +131,17 @@ class HumanoidEnv(MujocoEnv, EzPickle):
     def _com_velocity_block(self) -> np.ndarray:
         import jax
 
-        def com(q):
-            pc, _ = self._dyn["com_world"](q)
+        from gymnasium_tpu.physics.articulated import integrate_pos
+
+        qpos, qvel = self.qpos, self.qvel
+
+        def com(t):
+            # differentiate along the position flow (quaternion retraction
+            # for the free root), not a raw coordinate tangent
+            pc, _ = self._dyn["com_world"](integrate_pos(self.model, qpos, qvel, t))
             return pc
 
-        _, vel = jax.jvp(com, (self.qpos,), (self.qvel,))
+        _, vel = jax.jvp(com, (0.0,), (1.0,))
         vel = np.asarray(vel)
         rows = []
         for b in range(min(len(vel), _NBODY_OBS)):
@@ -147,13 +151,14 @@ class HumanoidEnv(MujocoEnv, EzPickle):
         return np.concatenate(rows)
 
     def _get_obs(self) -> np.ndarray:
-        quat = euler_to_quat(np, self.qpos[3:6])
-        omega = euler_rates_to_omega(np, self.qpos[3:6], self.qvel[3:6])
+        # quaternion root: qpos[3:7] is the absolute orientation, qvel[3:6]
+        # the body-frame angular velocity — MuJoCo's exact free-joint layout
+        quat = self.qpos[3:7]
         z = np.array([self.torso_z])
-        position = np.concatenate([z, quat, self.qpos[6:]])
+        position = np.concatenate([z, quat, self.qpos[7:]])
         if not self._exclude_xy:
             position = np.concatenate([self.qpos[:2], position])
-        velocity = np.concatenate([self.qvel[:3], omega, self.qvel[6:]])
+        velocity = self.qvel
         parts = [position, velocity]
         if self._include_cinert:
             parts.append(self._cinert)
@@ -169,7 +174,8 @@ class HumanoidEnv(MujocoEnv, EzPickle):
 
     def _sample_initial_state(self):
         noise = self._reset_noise_scale
-        qpos = self.init_qpos + self.np_random.uniform(-noise, noise, self.model.nv)
+        qpos = self.init_qpos + self.np_random.uniform(-noise, noise, self.model.nq)
+        qpos[3:7] /= np.linalg.norm(qpos[3:7]) + 1e-24
         qvel = self.init_qvel + self.np_random.uniform(-noise, noise, self.model.nv)
         return qpos, qvel
 
@@ -227,7 +233,6 @@ class HumanoidFunctional(MujocoFuncEnv):
     def __init__(self, options: dict[str, Any] | None = None):
         super().__init__(options)
         self.observation_space = spaces.Box(-np.inf, np.inf, (348,), np.float64)
-        self._z0 = float(self.model.bodies.pos[0][2])
         self._cinert = _com_inertia_block(self.model)
         self._nv = self.model.nv
 
@@ -235,18 +240,18 @@ class HumanoidFunctional(MujocoFuncEnv):
         import jax
         import jax.numpy as jnp
 
-        q, qd = state["qpos"], state["qvel"]
-        quat = euler_to_quat(jnp, q[3:6])
-        omega = euler_rates_to_omega(jnp, q[3:6], qd[3:6])
-        z = jnp.asarray([self._z0 + q[2]])
-        position = jnp.concatenate([z, quat, q[6:]])
-        velocity = jnp.concatenate([qd[:3], omega, qd[6:]])
+        from gymnasium_tpu.physics.articulated import integrate_pos
 
-        def com(q_):
-            pc, _ = self._dyn["com_world"](q_)
+        q, qd = state["qpos"], state["qvel"]
+        z = jnp.asarray([q[2]])
+        position = jnp.concatenate([z, q[3:7], q[7:]])
+        velocity = qd
+
+        def com(t):
+            pc, _ = self._dyn["com_world"](integrate_pos(self.model, q, qd, t))
             return pc
 
-        _, vel = jax.jvp(com, (q,), (qd,))
+        _, vel = jax.jvp(com, (jnp.zeros(()),), (jnp.ones(()),))
         rows = jnp.concatenate(
             [vel[:_NBODY_OBS], jnp.zeros((_NBODY_OBS, 3))], axis=1
         ).reshape(-1)
@@ -260,7 +265,7 @@ class HumanoidFunctional(MujocoFuncEnv):
         import jax.numpy as jnp
 
         x_velocity = (next_state["qpos"][0] - next_state["prev_x"]) / self.dt
-        z = self._z0 + next_state["qpos"][2]
+        z = next_state["qpos"][2]
         healthy = (z > 1.0) & (z < 2.0)
         ctrl_cost = 0.1 * jnp.sum(jnp.square(action))
         cfrc = self._dyn["contact_wrenches"](next_state["qpos"], next_state["qvel"])
@@ -268,5 +273,5 @@ class HumanoidFunctional(MujocoFuncEnv):
         return 1.25 * x_velocity + jnp.where(healthy, 5.0, 0.0) - ctrl_cost - contact_cost
 
     def terminal(self, state, rng, params: Any = None):
-        z = self._z0 + state["qpos"][2]
+        z = state["qpos"][2]
         return ~((z > 1.0) & (z < 2.0))

@@ -78,7 +78,7 @@ class HumanoidStandupFunctional(HumanoidFunctional):
     def reward(self, state, action, next_state, rng, params: Any = None):
         import jax.numpy as jnp
 
-        pos_after = self._z0 + next_state["qpos"][2]
+        pos_after = next_state["qpos"][2]
         uph_cost = pos_after / self.model.timestep
         cfrc = self._dyn["contact_wrenches"](next_state["qpos"], next_state["qvel"])
         impact = jnp.clip(0.5e-6 * jnp.sum(jnp.square(cfrc)), None, 10.0)

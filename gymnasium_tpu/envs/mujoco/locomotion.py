@@ -10,7 +10,7 @@ import numpy as np
 from gymnasium_tpu import spaces
 from gymnasium_tpu.envs.mujoco.mujoco_env import MujocoEnv, _compiled_step, load_model
 from gymnasium_tpu.functional import FuncEnv
-from gymnasium_tpu.physics.articulated import make_dynamics
+from gymnasium_tpu.physics.articulated import init_qpos, make_dynamics
 
 __all__ = ["PlanarLocomotionEnv", "MujocoFuncEnv"]
 
@@ -91,7 +91,7 @@ class MujocoFuncEnv(FuncEnv):
         self.model, self.meta = load_model(self.model_name)
         self._dyn = make_dynamics(self.model)
         nv = self.model.nv
-        self._init_qpos = np.asarray(self.model.joints.ref)
+        self._init_qpos = init_qpos(self.model)
         self.action_space = spaces.Box(
             low=np.asarray(self.model.act_ctrlrange[:, 0], dtype=np.float32),
             high=np.asarray(self.model.act_ctrlrange[:, 1], dtype=np.float32),
@@ -105,12 +105,17 @@ class MujocoFuncEnv(FuncEnv):
         import jax
         import jax.numpy as jnp
 
-        nv = self.model.nv
+        nv, nq = self.model.nv, self.model.nq
         k1, k2 = jax.random.split(rng)
         noise = self.reset_noise_scale
         qpos = jnp.asarray(self._init_qpos) + jax.random.uniform(
-            k1, (nv,), minval=-noise, maxval=noise
+            k1, (nq,), minval=-noise, maxval=noise
         )
+        if self.model.root_free:
+            # noise lands on raw quat components; renormalize (MuJoCo does
+            # the same via mj_normalizeQuat)
+            quat = qpos[3:7] / jnp.sqrt(jnp.sum(qpos[3:7] ** 2) + 1e-24)
+            qpos = jnp.concatenate([qpos[:3], quat, qpos[7:]])
         qvel = noise * jax.random.normal(k2, (nv,))
         return {"qpos": qpos, "qvel": qvel, "prev_x": qpos[0]}
 

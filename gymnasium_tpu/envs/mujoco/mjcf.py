@@ -429,6 +429,9 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
         gravity=gravity,
         timestep=timestep,
         ground_z=ground_z,
+        root_free=(
+            bool(dofs) and dofs[0]["name"] == dofs[5]["name"] if len(dofs) >= 6 else False
+        ),
     )
     meta = {
         "body_names": [b["name"] for b in bodies],

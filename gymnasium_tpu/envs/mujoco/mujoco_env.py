@@ -22,6 +22,7 @@ from gymnasium_tpu.physics.articulated import (
     ArticulatedModel,
     BodySpec,
     JointSpec,
+    init_qpos as _init_qpos,
     make_dynamics,
 )
 
@@ -35,6 +36,7 @@ def load_model(name: str) -> tuple[ArticulatedModel, dict]:
     """Load a compiled robot spec (see tools/extract_mujoco_models.py)."""
     path = os.path.join(_MODEL_DIR, f"{name}.npz")
     data = np.load(path)
+    meta = json.loads(bytes(data["meta_json"]).decode())
     model = ArticulatedModel(
         bodies=BodySpec(
             parent=data["bodies_parent"],
@@ -68,8 +70,8 @@ def load_model(name: str) -> tuple[ArticulatedModel, dict]:
         gravity=float(data["gravity"]),
         timestep=float(data["timestep"]),
         ground_z=float(data["ground_z"]) if "ground_z" in data else 0.0,
+        root_free=bool(meta.get("free_root", False)),
     )
-    meta = json.loads(bytes(data["meta_json"]).decode())
     return model, meta
 
 
@@ -123,11 +125,12 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
 
         self._step_fn, self._dyn = _compiled_step(model_name, frame_skip)
 
-        nv = self.model.nv
-        # qpos0 = joint reference values (e.g. hopper rootz ref=1.25)
-        self.init_qpos = np.asarray(self.model.joints.ref, dtype=np.float64).copy()
+        nv, nq = self.model.nv, self.model.nq
+        # qpos0 = joint reference values (e.g. hopper rootz ref=1.25); for a
+        # free root this includes the unit quaternion at [3:7]
+        self.init_qpos = _init_qpos(self.model)
         self.init_qvel = np.zeros(nv)
-        self.qpos = np.zeros(nv)
+        self.qpos = np.zeros(nq)
         self.qvel = np.zeros(nv)
 
         bounds = np.asarray(self.model.act_ctrlrange, dtype=np.float32)
@@ -152,8 +155,12 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
 
     def set_state(self, qpos: np.ndarray, qvel: np.ndarray):
         """Overwrite the full physics state (reference mujoco_env.py:128)."""
-        assert qpos.shape == (self.model.nv,) and qvel.shape == (self.model.nv,)
-        self.qpos = np.asarray(qpos, dtype=np.float64).copy()
+        assert qpos.shape == (self.model.nq,) and qvel.shape == (self.model.nv,)
+        qpos = np.asarray(qpos, dtype=np.float64).copy()
+        if self.model.root_free:
+            # normalize the root quaternion (MuJoCo's mj_normalizeQuat)
+            qpos[3:7] /= np.linalg.norm(qpos[3:7]) + 1e-24
+        self.qpos = qpos
         self.qvel = np.asarray(qvel, dtype=np.float64).copy()
 
     def get_state(self) -> tuple[np.ndarray, np.ndarray]:
@@ -205,9 +212,13 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
         # (hopper_v5.py:329, walker2d_v5.py:329, swimmer_v5.py:278); robots
         # with gaussian qvel noise (half-cheetah, ant, IDP) override this
         noise = self._reset_noise_scale
+        # uniform noise over ALL nq entries including raw quat components,
+        # then normalized — exactly MuJoCo's behavior under v5 reset noise
         qpos = self.init_qpos + self.np_random.uniform(
-            low=-noise, high=noise, size=self.model.nv
+            low=-noise, high=noise, size=self.model.nq
         )
+        if self.model.root_free:
+            qpos[3:7] /= np.linalg.norm(qpos[3:7]) + 1e-24
         qvel = self.init_qvel + self.np_random.uniform(
             low=-noise, high=noise, size=self.model.nv
         )

@@ -17,10 +17,16 @@ The Lagrangian-autodiff formulation (``kinetic_energy``/``potential``) is kept
 as the test oracle; the geometric path is verified bit-equivalent against it
 (tests/physics/). TPU lowering rules that shaped this code: docs/BENCHMARKS.md.
 
-Joints are slide/hinge about arbitrary axes; a floating base is three slides
-plus three hinges (Euler parametrization — adequate for the mostly-upright
-locomotion robots; quaternion roots are a later refinement). Models are
-static spec tables (numpy) extracted from the reference MJCF assets.
+Joints are slide/hinge about arbitrary axes. A floating base
+(``root_free=True``) is singularity-free: position state carries a unit
+quaternion (``nq = nv + 1``, layout ``[x y z | qw qx qy qz | joints]``) while
+velocity state stays ``nv``-dimensional with a body-frame angular velocity at
+``qvel[3:6]`` — the same free-joint convention as the reference's MuJoCo
+models (reference envs/mujoco/assets/ant.xml, humanoid.xml root joints).
+Integration composes ``quat ⊗ exp(dt·ω/2)`` and renormalizes; all dynamics
+quantities (M, bias, contacts) live in velocity space via geometric
+Jacobians, so no Euler-angle singularity exists anywhere. Models are static
+spec tables (numpy) extracted from the reference MJCF assets.
 """
 
 from __future__ import annotations
@@ -30,7 +36,16 @@ from typing import Any, NamedTuple
 
 import numpy as np
 
-__all__ = ["JointSpec", "BodySpec", "ArticulatedModel", "fk", "step_fn", "make_dynamics"]
+__all__ = [
+    "JointSpec",
+    "BodySpec",
+    "ArticulatedModel",
+    "fk",
+    "step_fn",
+    "make_dynamics",
+    "init_qpos",
+    "integrate_pos",
+]
 
 SLIDE = 0
 HINGE = 1
@@ -88,10 +103,17 @@ class ArticulatedModel(NamedTuple):
     # world ground-plane height; -inf-like when the model has no floor
     # (e.g. Pusher's table sits at z=-0.325, reference pusher_v5.xml:18)
     ground_z: float = 0.0
+    # True when dofs 0-5 form a free root: qpos then has a quaternion at
+    # [3:7] (nq = nv + 1) and qvel[3:6] is the body-frame angular velocity
+    root_free: bool = False
 
     @property
     def nv(self) -> int:
         return len(self.joints.body)
+
+    @property
+    def nq(self) -> int:
+        return self.nv + 1 if self.root_free else self.nv
 
     @property
     def nu(self) -> int:
@@ -107,6 +129,100 @@ def _quat_to_mat_np(q):
             [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
         ]
     )
+
+
+def _quat_to_mat_j(jnp, q):
+    """(w,x,y,z) quaternion -> rotation matrix, jittable. Tolerates
+    non-normalized input (the formula divides by |q|²), so reset noise on
+    raw quat components behaves like MuJoCo's mj_normalizeQuat."""
+    n = jnp.sum(q * q)
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    s = 2.0 / jnp.maximum(n, 1e-12)
+    return jnp.stack(
+        [
+            jnp.stack([1 - s * (y * y + z * z), s * (x * y - w * z), s * (x * z + w * y)]),
+            jnp.stack([s * (x * y + w * z), 1 - s * (x * x + z * z), s * (y * z - w * x)]),
+            jnp.stack([s * (x * z - w * y), s * (y * z + w * x), 1 - s * (x * x + y * y)]),
+        ]
+    )
+
+
+def _quat_mul_j(jnp, a, b):
+    """Hamilton product (w,x,y,z)."""
+    aw, ax, ay, az = a[0], a[1], a[2], a[3]
+    bw, bx, by, bz = b[0], b[1], b[2], b[3]
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ]
+    )
+
+
+def _rotvec_to_quat_j(jnp, v):
+    """exp map: rotation vector -> quaternion, smooth at 0 to ALL autodiff
+    orders (the oracle tests take hessians through this).
+
+    Near θ=0 both factors switch to their Taylor series; the large branch's
+    sqrt argument is replaced by 1 when unselected (double-where pattern) so
+    its higher derivatives never see a zero and produce NaN."""
+    theta2 = jnp.sum(v * v)
+    big = theta2 > 1e-10
+    theta = jnp.sqrt(jnp.where(big, theta2, 1.0))
+    half = 0.5 * theta
+    sinc_half = jnp.where(big, jnp.sin(half) / theta, 0.5 - theta2 / 48.0)
+    cos_half = jnp.where(big, jnp.cos(half), 1.0 - theta2 / 8.0 + theta2 * theta2 / 384.0)
+    return jnp.concatenate([cos_half[None], sinc_half * v])
+
+
+def init_qpos(model: ArticulatedModel) -> np.ndarray:
+    """The rest-pose position vector (nq).
+
+    Free root: the root body's fixed pos and quat from the MJCF — MuJoCo
+    folds a free-jointed body's pos/quat into qpos0, and qpos holds the
+    ABSOLUTE world pose thereafter — then the joint references.
+    """
+    ref = np.asarray(model.joints.ref, dtype=np.float64)
+    if not model.root_free:
+        return ref.copy()
+    root = int(model.joints.body[0])
+    return np.concatenate(
+        [np.asarray(model.bodies.pos[root]), np.asarray(model.bodies.quat[root]), ref[6:]]
+    )
+
+
+def dof_positions(model: ArticulatedModel, q):
+    """Per-dof scalar positions (nv,) for springs/limits: with a free root
+    the quaternion block contributes zeros (root dofs are never limited or
+    sprung)."""
+    import jax.numpy as jnp
+
+    if not model.root_free:
+        return q
+    return jnp.concatenate([q[:3], jnp.zeros(3, q.dtype), q[7:]])
+
+
+def integrate_pos(model: ArticulatedModel, q, v, dt):
+    """Position update ``q ⊕ dt·v``: plain Euler for translations/joints,
+    quaternion composition ``quat ⊗ exp(dt·ω_body/2)`` (right-multiplied:
+    ω is body-frame) with renormalization for a free root.
+
+    Also serves as the retraction for convective-term jvp's: holding ``v``
+    fixed and differentiating along ``dt`` gives the true zero-acceleration
+    motion of the quasi-velocity system.
+    """
+    import jax.numpy as jnp
+
+    if not model.root_free:
+        return q + dt * v
+    pos = q[:3] + dt * v[:3]
+    dq = _rotvec_to_quat_j(jnp, dt * v[3:6])
+    quat = _quat_mul_j(jnp, q[3:7], dq)
+    quat = quat / jnp.sqrt(jnp.sum(quat * quat) + 1e-24)
+    joints = q[7:] + dt * v[6:]
+    return jnp.concatenate([pos, quat, joints])
 
 
 def _axis_angle_mat(jnp, axis, theta):
@@ -127,9 +243,22 @@ def _axis_angle_mat(jnp, axis, theta):
     return eye * c + s * K + (1 - c) * jnp.outer(ax, ax)
 
 
+def _is_free_root_body(model: ArticulatedModel, b: int) -> bool:
+    return (
+        model.root_free
+        and int(model.bodies.dof_start[b]) == 0
+        and int(model.bodies.dof_count[b]) == 6
+    )
+
+
+def _q_index(model: ArticulatedModel, k: int) -> int:
+    """Position index of dof ``k`` (the root quaternion shifts joints by 1)."""
+    return k + 1 if model.root_free and k >= 6 else k
+
+
 def fk(model: ArticulatedModel, q):
     """Forward kinematics: world rotation R (nbody,3,3) and frame origin p
-    (nbody,3) for every body, as a pure jittable function of ``q``."""
+    (nbody,3) for every body, as a pure jittable function of ``q`` (nq)."""
     import jax.numpy as jnp
 
     nbody = len(model.bodies.parent)
@@ -143,6 +272,16 @@ def fk(model: ArticulatedModel, q):
         else:
             R_p = Rs[parent]
             p_p = ps[parent]
+
+        if _is_free_root_body(model, b):
+            # free joint: qpos IS the absolute world pose of the body frame
+            # (MuJoCo folds the XML body pos/quat into qpos0 — see init_qpos)
+            p = q[0:3]
+            R = _quat_to_mat_j(jnp, q[3:7])
+            Rs.append(R)
+            ps.append(p)
+            continue
+
         R_fix = jnp.asarray(_quat_to_mat_np(model.bodies.quat[b]))
         R = R_p @ R_fix
         p = p_p + R_p @ jnp.asarray(model.bodies.pos[b])
@@ -152,7 +291,7 @@ def fk(model: ArticulatedModel, q):
         for k in range(start, start + count):
             axis = model.joints.axis[k]
             anchor = jnp.asarray(model.joints.anchor[k])
-            qk = q[k] - float(model.joints.ref[k])
+            qk = q[_q_index(model, k)] - float(model.joints.ref[k])
             if int(model.joints.jtype[k]) == SLIDE:
                 p = p + R @ (jnp.asarray(axis) * qk)
             else:
@@ -186,6 +325,24 @@ def fk_full(model: ArticulatedModel, q):
         else:
             R_p = Rs[parent]
             p_p = ps[parent]
+
+        if _is_free_root_body(model, b):
+            p = q[0:3]
+            R = _quat_to_mat_j(jnp, q[3:7])
+            # translational dofs: world axes, no pivot
+            for k in range(3):
+                axes_w[k] = jnp.asarray(np.eye(3)[k])
+                pivots_w[k] = jnp.zeros(3)
+            # rotational dofs: ω is body-frame, so the world axes are the
+            # body's basis vectors (columns of R); rotation pivots at the
+            # body frame origin
+            for k in range(3):
+                axes_w[3 + k] = R[:, k]
+                pivots_w[3 + k] = p
+            Rs.append(R)
+            ps.append(p)
+            continue
+
         R_fix = jnp.asarray(_quat_to_mat_np(model.bodies.quat[b]))
         R = R_p @ R_fix
         p = p_p + R_p @ jnp.asarray(model.bodies.pos[b])
@@ -195,7 +352,7 @@ def fk_full(model: ArticulatedModel, q):
         for k in range(start, start + count):
             axis = model.joints.axis[k]
             anchor = jnp.asarray(model.joints.anchor[k])
-            qk = q[k] - float(model.joints.ref[k])
+            qk = q[_q_index(model, k)] - float(model.joints.ref[k])
             axes_w[k] = R @ jnp.asarray(axis)
             if int(model.joints.jtype[k]) == SLIDE:
                 pivots_w[k] = jnp.zeros(3)
@@ -242,8 +399,13 @@ def _build_fk_levels(model: ArticulatedModel):
 
 def fk_full_batched(model: ArticulatedModel, q, plan=None):
     """Level-batched :func:`fk_full`: identical outputs, sequential depth
-    equal to the kinematic tree depth instead of the node count."""
+    equal to the kinematic tree depth instead of the node count.
+
+    Not implemented for free-root models (the sequential form is the hot
+    path anyway — see the note in ``all_jacobians``)."""
     import jax.numpy as jnp
+
+    assert not model.root_free, "fk_full_batched does not support free roots"
 
     nodes, levels, body_final_node = plan if plan is not None else _build_fk_levels(model)
     n_nodes = len(nodes)
@@ -386,8 +548,15 @@ def make_dynamics(model: ArticulatedModel):
         return p + jnp.sum(R * coms[:, None, :], axis=-1), R
 
     def kinetic_energy(q, qd):
-        # linear com velocities and angular velocities via one jvp each
-        (pc, R), (pc_dot, R_dot) = jax.jvp(com_world, (q,), (qd,))
+        # body velocities by differentiating FK along the position flow
+        # q_t = q ⊕ t·qd (the plain coordinate tangent when there is no free
+        # root, the quaternion retraction when there is) — autodiff-only,
+        # independent of the closed-form geometric Jacobians, which keeps
+        # this a valid oracle for them (tests/physics/).
+        def flow(t):
+            return com_world(integrate_pos(model, q, qd, t))
+
+        (pc, R), (pc_dot, R_dot) = jax.jvp(flow, (jnp.zeros(()),), (jnp.ones(()),))
         # omega from skew(R_dot R^T)
         W = jnp.sum(R_dot[:, :, None, :] * R[:, None, :, :], axis=-1)
         omega = jnp.stack([W[:, 2, 1], W[:, 0, 2], W[:, 1, 0]], axis=-1)
@@ -401,7 +570,7 @@ def make_dynamics(model: ArticulatedModel):
     # V = -Σ m g·p with g = (0, 0, gravity); gravity < 0 ⇒ V grows with z.
     def potential(q):
         pc, _ = com_world(q)
-        dq = q - jnp.asarray(model.joints.ref)
+        dq = dof_positions(model, q) - jnp.asarray(model.joints.ref)
         spring = 0.5 * jnp.sum(jnp.asarray(model.joints.stiffness) * dq**2)
         return -jnp.sum(masses * g * pc[:, 2]) + spring
 
@@ -515,7 +684,23 @@ def make_dynamics(model: ArticulatedModel):
     stiffness = jnp.asarray(model.joints.stiffness)
     joint_ref = jnp.asarray(model.joints.ref)
 
-    def _bias_terms(q, qd, Jv, Jw, I_world):
+    def _jacobians_with_rates(q, qd):
+        """ONE jvp along the position flow yields the Jacobians (primals)
+        AND their time derivatives contracted with q̇ (tangents) — the
+        convective accelerations a⁰ = (dJᵥ/dt)q̇, α⁰ = (dJ_ω/dt)q̇. Sharing
+        the primal pass with M-assembly/contacts saves a full FK+Jacobian
+        traversal per substep vs calling all_jacobians twice."""
+
+        def jac_t(t):
+            return all_jacobians(integrate_pos(model, q, qd, t))
+
+        primals, tangents = jax.jvp(jac_t, (jnp.zeros(()),), (jnp.ones(()),))
+        dJv, dJw = tangents[3], tangents[4]
+        a0 = jnp.sum(dJv * qd[None, :, None], axis=1)
+        al0 = jnp.sum(dJw * qd[None, :, None], axis=1)
+        return primals, a0, al0
+
+    def _bias_terms(q, qd, Jv, Jw, I_world, a0, al0):
         """Newton–Euler velocity bias + conservative forces.
 
         With q̈ = 0, body accelerations are a⁰ = (dJᵥ/dt)q̇, α⁰ = (dJ_ω/dt)q̇
@@ -525,15 +710,7 @@ def make_dynamics(model: ArticulatedModel):
         Equal to the Lagrangian form (∂(Mq̇)/∂q)q̇ − ∂T/∂q + ∂V/∂q but ~5x
         fewer ops than forward-over-reverse through the kinetic energy.
         """
-
-        def vels(q_):
-            _, _, _, Jv_, Jw_, _, _ = all_jacobians(q_)
-            return (
-                jnp.sum(Jv_ * qd[None, :, None], axis=1),
-                jnp.sum(Jw_ * qd[None, :, None], axis=1),
-            )
-
-        (_, w), (a0, al0) = jax.jvp(vels, (q,), (qd,))
+        w = jnp.sum(Jw * qd[None, :, None], axis=1)
         Iw_w = jnp.sum(I_world * w[:, None, :], axis=-1)
         t_ang = jnp.sum(I_world * al0[:, None, :], axis=-1) + jnp.cross(w, Iw_w)
         f_lin = masses[:, None] * a0
@@ -542,12 +719,12 @@ def make_dynamics(model: ArticulatedModel):
         )
         # ∂V/∂q: gravity (V = −Σ m g pc_z) through Jv_z, plus joint springs
         dV = -g * jnp.sum(masses[:, None] * Jv[..., 2], axis=0)
-        dV = dV + stiffness * (q - joint_ref)
+        dV = dV + stiffness * (dof_positions(model, q) - joint_ref)
         return c_kin + dV
 
     def bias(q, qd):
-        _, _, _, Jv, Jw, _, I_world = all_jacobians(q)
-        return _bias_terms(q, qd, Jv, Jw, I_world)
+        (_, _, _, Jv, Jw, _, I_world), a0, al0 = _jacobians_with_rates(q, qd)
+        return _bias_terms(q, qd, Jv, Jw, I_world, a0, al0)
 
     def contact_points(q):
         _, _, cpts = kin_all(q)
@@ -615,11 +792,12 @@ def make_dynamics(model: ArticulatedModel):
     limit_c = jnp.asarray(1.4 * np.sqrt(_k_lim * _m_dof))
 
     def limit_torques(q, qd):
+        qj = dof_positions(model, q)
         lim = jnp.asarray(model.joints.limited)
         lower = jnp.asarray(model.joints.lower)
         upper = jnp.asarray(model.joints.upper)
-        below = jnp.minimum(q - lower, 0.0)
-        above = jnp.maximum(q - upper, 0.0)
+        below = jnp.minimum(qj - lower, 0.0)
+        above = jnp.maximum(qj - upper, 0.0)
         violating = (below < 0.0) | (above > 0.0)
         tau = -limit_k * (below + above) - jnp.where(violating, limit_c * qd, 0.0)
         return jnp.where(lim, tau, 0.0)
@@ -636,14 +814,14 @@ def make_dynamics(model: ArticulatedModel):
     damping = jnp.asarray(model.joints.damping)
 
     def step(q, qd, ctrl):
-        # One geometric-Jacobian pass serves M, the contact solve, AND the
-        # Newton-Euler bias (which re-derives only the contracted velocities).
-        _, R, cpts, Jv, Jw, Jc, I_world = all_jacobians(q)
+        # ONE jvp'd geometric-Jacobian pass serves M, the contact solve, AND
+        # the Newton-Euler bias (primals + flow-tangents shared).
+        (_, R, cpts, Jv, Jw, Jc, I_world), a0, al0 = _jacobians_with_rates(q, qd)
         M = _assemble_mass(Jv, Jw, R)
         tau = actuation(ctrl) + limit_torques(q, qd)
         if has_contacts:
             tau = tau + _contact_forces(cpts, Jc, qd)
-        c = _bias_terms(q, qd, Jv, Jw, I_world)
+        c = _bias_terms(q, qd, Jv, Jw, I_world, a0, al0)
         # Implicit joint damping: solve (M + dt·D) q̈ = τ − c − D·q̇ — keeps
         # heavily-damped low-inertia joints (Pusher wrist) unconditionally
         # stable where the explicit form explodes.
@@ -651,7 +829,7 @@ def make_dynamics(model: ArticulatedModel):
         rhs = tau - c - damping * qd
         qacc = _spd_solve(jnp, M + model.timestep * D + 1e-9 * jnp.eye(nv), rhs)
         qd_new = qd + model.timestep * qacc
-        q_new = q + model.timestep * qd_new
+        q_new = integrate_pos(model, q, qd_new, model.timestep)
         return q_new, qd_new
 
     return {

@@ -89,9 +89,18 @@ def test_reset_distribution_close(env_id):
     ours.close()
 
 
-@pytest.mark.parametrize(
-    "env_id", [r for r in ROBOTS if r not in ("Ant-v5", "Humanoid-v5", "HumanoidStandup-v5")]
-)
+# free-root robots spawn in ground contact: joint VELOCITIES flap during the
+# contact transient (soft springs vs MuJoCo's constraint impulses), so the
+# comparison is over the position block of the observation; the quaternion
+# root makes the qpos layouts identical so set_state interops directly.
+_POS_PREFIX_TOL = {
+    "Ant-v5": (13, 1.2),
+    "Humanoid-v5": (22, 0.2),
+    "HumanoidStandup-v5": (22, 0.5),
+}
+
+
+@pytest.mark.parametrize("env_id", ROBOTS)
 def test_zero_action_dynamics_close(env_id):
     """From the reference's exact (qpos, qvel), 5 zero-action steps must stay
     within tolerance of the real engine."""
@@ -101,13 +110,14 @@ def test_zero_action_dynamics_close(env_id):
     ours.reset(seed=0)
     ours.set_state(ref.data.qpos.copy(), ref.data.qvel.copy())
     action = np.zeros(ref.action_space.shape, dtype=np.float32)
+    k_max, tol = _POS_PREFIX_TOL.get(env_id, (10**9, ZERO_ACTION_TOL[env_id]))
     worst = 0.0
     for _ in range(5):
         ro, *_ = ref.step(action)
         oo, *_ = ours.step(action)
-        k = min(len(ro), len(oo))
+        k = min(len(ro), len(oo), k_max)
         worst = max(worst, float(np.max(np.abs(np.asarray(ro[:k]) - np.asarray(oo[:k])))))
-    assert worst < ZERO_ACTION_TOL[env_id], f"{env_id}: dev {worst}"
+    assert worst < tol, f"{env_id}: dev {worst}"
     ref.close()
     ours.close()
 

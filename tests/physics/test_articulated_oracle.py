@@ -36,9 +36,14 @@ def robot(request):
 
 def _rand_state(model, seed=0):
     rng = np.random.default_rng(seed)
-    q = jnp.asarray(rng.uniform(-0.4, 0.4, model.nv), jnp.float32)
+    q = rng.uniform(-0.4, 0.4, model.nq)
+    if model.root_free:
+        # a genuinely large random orientation — quaternion roots must be
+        # correct far from upright (the Euler root's failure mode)
+        quat = rng.normal(size=4)
+        q[3:7] = quat / np.linalg.norm(quat)
     qd = jnp.asarray(rng.uniform(-1.0, 1.0, model.nv), jnp.float32)
-    return q, qd
+    return jnp.asarray(q, jnp.float32), qd
 
 
 def test_mass_matrix_matches_hessian_oracle(robot):
@@ -61,6 +66,12 @@ def test_mass_matrix_symmetric_positive_definite(robot):
 
 def test_bias_matches_lagrangian_oracle(robot):
     name, model, dyn = robot
+    if model.root_free:
+        pytest.skip(
+            "Lagrangian momentum oracle needs coordinate velocities; "
+            "free (quaternion) roots use quasi-velocities — covered by "
+            "test_free_root.py (energy/momentum conservation + MuJoCo parity)"
+        )
     q, qd = _rand_state(model, seed=1)
     ke, pot = dyn["kinetic_energy"], dyn["potential"]
 
@@ -77,6 +88,8 @@ def test_bias_matches_lagrangian_oracle(robot):
 
 def test_bias_zero_velocity_equals_gravity_gradient(robot):
     name, model, dyn = robot
+    if model.root_free:
+        pytest.skip("∂V/∂q is an nq-gradient for quaternion roots; see test_free_root.py")
     q, _ = _rand_state(model, seed=2)
     got = dyn["bias"](q, jnp.zeros(model.nv))
     oracle = jax.grad(dyn["potential"])(q)
@@ -136,6 +149,8 @@ def test_level_batched_fk_matches_sequential(robot):
     from gymnasium_tpu.physics.articulated import fk_full, fk_full_batched
 
     name, model, _ = robot
+    if model.root_free:
+        pytest.skip("level-batched FK does not support free roots (unused path)")
     q, _ = _rand_state(model, seed=7)
     for a, b in zip(fk_full(model, q), fk_full_batched(model, q)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
