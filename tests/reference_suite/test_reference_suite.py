@@ -1,0 +1,115 @@
+"""Run the REFERENCE's own test suite, unmodified, against gymnasium_tpu.
+
+The strongest behavioral-parity evidence available: the adversary's tests,
+our implementation. Each case spawns a pytest subprocess rooted at
+/root/reference with ``tools/ref_alias_plugin.py`` aliasing every
+``gymnasium[.X]`` import to ``gymnasium_tpu[.X]`` (same module objects, so
+isinstance checks hold), and asserts the whole selection passes.
+
+Exclusions are enumerated per suite with reasons; everything else must be
+green. Skipped wholesale if /root/reference is not present (these tests are
+meaningful only in the build environment).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REFERENCE = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "tests")),
+    reason="reference checkout not available",
+)
+
+# Deselected reference tests, each with the reason it cannot pass here.
+DESELECT = {
+    # package-name cosmetics: the error string embeds __name__, which is
+    # gymnasium_tpu here; the behavior (AttributeError raised) is identical
+    "tests/wrappers/test_import_wrappers.py::test_import_wrappers": "message embeds package __name__",
+    "tests/vector/utils/test_shared_memory.py::test_custom_space": "message embeds package __name__",
+    # these pin the reference's INTERNAL state encoding (21-slot card arrays
+    # in a NamedTuple); our functional envs use a smaller sufficient-statistic
+    # state by design — behavioral parity is covered by
+    # tests/envs/test_reference_parity.py
+    "tests/functional/test_jax_blackjack.py::test_normal_BlackjackFunctional": "pins internal state pytree",
+    "tests/functional/test_jax_blackjack.py::test_jit_BlackjackFunctional": "pins internal state pytree",
+    "tests/functional/test_jax_cliffwalking.py::test_normal_CliffWalkingFunctional": "pins internal state pytree",
+    "tests/functional/test_jax_cliffwalking.py::test_jit_CliffWalkingFunctional": "pins internal state pytree",
+}
+
+
+def _run_reference(paths: list[str], timeout: int = 540) -> None:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.join(REPO, "tools"), REPO] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [
+        sys.executable,
+        "-m",
+        "pytest",
+        *paths,
+        "-q",
+        "-p",
+        "ref_alias_plugin",
+        "-p",
+        "no:cacheprovider",
+        "--basetemp=/tmp/gymtpu_reftests",
+    ]
+    for item in DESELECT:
+        cmd += ["--deselect", item]
+    result = subprocess.run(
+        cmd, cwd=REFERENCE, env=env, capture_output=True, text=True, timeout=timeout
+    )
+    assert result.returncode == 0, (
+        f"reference suite {paths} failed:\n{result.stdout[-8000:]}\n{result.stderr[-2000:]}"
+    )
+
+
+def test_reference_spaces_suite():
+    """All 14 reference space test files (~1080 tests)."""
+    _run_reference(["tests/spaces"])
+
+
+def test_reference_core_vector_functional_suite():
+    """Reference core protocol, vector runtime (sync/async/shared-memory/
+    info-batching), and functional-API suites (~1330 tests)."""
+    _run_reference(["tests/test_core.py", "tests/vector", "tests/functional"])
+
+
+def test_reference_wrappers_suite():
+    """Reference single-env wrapper suites (38 files), minus the two
+    video/display-heavy files covered by the slow variant below."""
+    _run_reference(
+        [
+            "tests/wrappers",
+            "--ignore",
+            "tests/wrappers/test_record_video.py",
+            "--ignore",
+            "tests/wrappers/test_human_rendering.py",
+            "--ignore",
+            "tests/wrappers/vector/test_record_video.py",
+            "--ignore",
+            "tests/wrappers/vector/test_human_rendering.py",
+        ]
+    )
+
+
+@pytest.mark.slow
+def test_reference_rendering_wrappers_suite():
+    """Video-encoding and human-display reference wrapper tests (minutes of
+    mp4 encoding; OpenCV fallback encoder when moviepy is absent)."""
+    _run_reference(
+        [
+            "tests/wrappers/test_record_video.py",
+            "tests/wrappers/test_human_rendering.py",
+            "tests/wrappers/vector/test_record_video.py",
+            "tests/wrappers/vector/test_human_rendering.py",
+        ]
+    )

@@ -1,0 +1,49 @@
+"""Pytest plugin: alias ``gymnasium`` (and every submodule) to ``gymnasium_tpu``.
+
+Used by tests/reference_suite to run the REFERENCE's own test files, unmodified
+and in place (/root/reference/tests), against this package — the strongest
+possible behavioral-parity check (the adversary's tests, our implementation).
+
+A meta-path finder intercepts any ``gymnasium[.X.Y]`` import and returns the
+ALREADY-IMPORTED ``gymnasium_tpu[.X.Y]`` module object (same identity, so
+isinstance checks across the alias boundary hold). Meta-path finders run
+before path-based finders, so the real reference package never loads even
+with /root/reference on sys.path.
+"""
+
+from __future__ import annotations
+
+import importlib
+import importlib.abc
+import importlib.util
+import sys
+
+
+class _AliasLoader(importlib.abc.Loader):
+    def __init__(self, module):
+        self._module = module
+
+    def create_module(self, spec):
+        return self._module
+
+    def exec_module(self, module):
+        pass
+
+
+class _GymAliasFinder(importlib.abc.MetaPathFinder):
+    def find_spec(self, name, path=None, target=None):
+        if name != "gymnasium" and not name.startswith("gymnasium."):
+            return None
+        real_name = name.replace("gymnasium", "gymnasium_tpu", 1)
+        try:
+            module = importlib.import_module(real_name)
+        except ImportError:
+            return None
+        spec = importlib.util.spec_from_loader(name, _AliasLoader(module))
+        # submodule imports resolve through the aliased parent's __path__
+        if hasattr(module, "__path__"):
+            spec.submodule_search_locations = list(module.__path__)
+        return spec
+
+
+sys.meta_path.insert(0, _GymAliasFinder())
