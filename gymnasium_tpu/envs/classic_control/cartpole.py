@@ -250,6 +250,17 @@ class CartPoleVectorEnv(VectorEnv):
         return self.state.astype(np.float32), {}
 
     def render(self):
-        if self.render_mode != "rgb_array":
+        # any non-None mode renders per-env frames (reference
+        # cartpole.py:507-598: the vector env draws for every mode incl.
+        # "rgb_array_list"; HumanRendering peels the list form)
+        if self.render_mode is None:
+            import gymnasium_tpu as gym
+
+            gym.logger.warn(
+                "You are calling render method without specifying any render mode."
+            )
             return None
-        return tuple(_render_cartpole(s, self.params) for s in self.state)
+        frames = tuple(_render_cartpole(s, self.params) for s in self.state)
+        if self.render_mode.endswith("_list"):
+            return tuple([f] for f in frames)
+        return frames

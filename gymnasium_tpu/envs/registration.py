@@ -598,7 +598,10 @@ def make_vec(
     num_envs = int(num_envs)
 
     if vectorization_mode is None:
-        if env_spec.jax_entry_point is not None:
+        # the device path cannot render; a requested render_mode falls back
+        # to the reference's resolution order (vector entry point, else sync)
+        wants_render = env_spec_kwargs.get("render_mode") is not None
+        if env_spec.jax_entry_point is not None and not wants_render:
             vectorization_mode = VectorizeMode.JAX
         elif env_spec.vector_entry_point is not None:
             vectorization_mode = VectorizeMode.VECTOR_ENTRY_POINT

@@ -30,6 +30,21 @@ class DictInfoToList(VectorWrapper):
         list_info = self._convert_info_to_list(infos)
         return obs, list_info
 
+    def _check_lengths(self, infos: dict, key: str, value) -> None:
+        """Malformed vector infos fail loudly (reference
+        dict_info_to_list.py:122-148): values and their ``_key`` masks must
+        span the whole batch."""
+        if not isinstance(value, (dict, list)):
+            assert isinstance(value, np.ndarray)
+        assert len(value) == self.num_envs, (
+            f"Expects {value} to have length equal to the num-envs ({self.num_envs}), actual length is {len(value)}"
+        )
+        binary_key = f"_{key}"
+        if binary_key in infos:
+            assert len(infos[binary_key]) == self.num_envs, (
+                f"Expects {infos[binary_key]} to have length equal to the num-envs ({self.num_envs}), actual length is {len(infos[binary_key])}"
+            )
+
     def _convert_info_to_list(self, vector_infos: dict) -> list[dict[str, Any]]:
         list_info = [{} for _ in range(self.num_envs)]
         for key, value in vector_infos.items():
@@ -39,10 +54,12 @@ class DictInfoToList(VectorWrapper):
             if isinstance(value, dict):
                 # nested dict: recurse per sub-key
                 nested = self._convert_nested(value, mask)
+                self._check_lengths(vector_infos, key, nested)
                 for i, has in enumerate(mask):
                     if has:
                         list_info[i][key] = nested[i]
             else:
+                self._check_lengths(vector_infos, key, value)
                 for i, has in enumerate(mask):
                     if has:
                         list_info[i][key] = value[i]
@@ -56,10 +73,12 @@ class DictInfoToList(VectorWrapper):
             submask = nested_info.get(f"_{key}", mask)
             if isinstance(value, dict):
                 sub = self._convert_nested(value, submask)
+                self._check_lengths(nested_info, key, sub)
                 for i, has in enumerate(submask):
                     if has:
                         out[i][key] = sub[i]
             else:
+                self._check_lengths(nested_info, key, value)
                 for i, has in enumerate(submask):
                     if has:
                         out[i][key] = value[i]

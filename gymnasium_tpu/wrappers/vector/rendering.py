@@ -106,6 +106,9 @@ class RecordVideo(VectorWrapper):
         name_prefix: str = "rl-video",
         fps: int | None = None,
         disable_logger: bool = True,
+        record_first_only: bool = False,
+        video_aspect_ratio: tuple[int, int] = (1, 1),
+        gc_trigger: Callable[[int], bool] | None = None,
     ):
         super().__init__(env)
 
@@ -121,6 +124,14 @@ class RecordVideo(VectorWrapper):
         self.episode_trigger = episode_trigger
         self.step_trigger = step_trigger
         self.disable_logger = disable_logger
+        self.gc_trigger = gc_trigger
+
+        #: record either the first sub-env or all of them tiled into a grid
+        #: whose shape best matches ``video_aspect_ratio`` (reference
+        #: wrappers/vector/rendering.py:336-368)
+        self.record_first_only = record_first_only
+        self.video_aspect_ratio = video_aspect_ratio
+        self._grid_shape: tuple[int, int] | None = None
 
         self.video_folder = os.path.abspath(video_folder)
         os.makedirs(self.video_folder, exist_ok=True)
@@ -137,26 +148,63 @@ class RecordVideo(VectorWrapper):
         self.step_id = -1
         self.episode_id = -1
 
+        # encoder preference: moviepy > OpenCV VideoWriter > raw .npz dump
+        # (same fallback chain as the single-env RecordVideo)
         try:
             import moviepy  # noqa: F401
 
-            self._has_moviepy = True
+            self._encoder = "moviepy"
         except ImportError:
-            self._has_moviepy = False
+            try:
+                import cv2  # noqa: F401
+
+                self._encoder = "cv2"
+            except ImportError:
+                self._encoder = "npz"
+                logger.warn(
+                    "Neither moviepy nor OpenCV is installed; RecordVideo will save raw frames as .npz instead of encoded video."
+                )
+
+    def _choose_grid(self, n: int, h: int, w: int) -> tuple[int, int]:
+        """(rows, cols) factorization of n whose tiled aspect ratio is
+        closest to the requested one."""
+        target = self.video_aspect_ratio[0] / self.video_aspect_ratio[1]
+        best, best_diff = (1, n), float("inf")
+        for rows in range(1, int(n**0.5) + 1):
+            if n % rows == 0:
+                cols = n // rows
+                diff = abs((cols * w) / (rows * h) - target)
+                if diff < best_diff:
+                    best, best_diff = (rows, cols), diff
+        return best
 
     def _capture_frame(self):
         frames = self.env.render()
-        if isinstance(frames, tuple):
-            frame = frames[0]
-            if isinstance(frame, list):
-                frame = frame[-1]
+        if isinstance(frames, (tuple, list)):
+            # peel the *_list render form (per-env lists of frames)
+            frames = [f[-1] if isinstance(f, list) else f for f in frames]
         else:
-            frame = frames
-        if isinstance(frame, np.ndarray):
-            self.recorded_frames.append(frame)
-        else:
+            frames = [frames]
+        if not all(isinstance(f, np.ndarray) for f in frames):
             self.stop_recording()
-            logger.warn(f"Unable to record frame of type {type(frame)}; stopping recording.")
+            logger.warn(
+                f"Unable to record frame of type {type(frames[0])}; stopping recording."
+            )
+            return
+        if self.record_first_only:
+            frames = frames[:1]
+        if len(frames) == 1:
+            self.recorded_frames.append(frames[0])
+            return
+        h, w, c = frames[0].shape
+        if self._grid_shape is None:
+            self._grid_shape = self._choose_grid(len(frames), h, w)
+        rows, cols = self._grid_shape
+        grid = np.zeros((rows * h, cols * w, c), dtype=frames[0].dtype)
+        for idx, f in enumerate(frames):
+            r, col = divmod(idx, cols)
+            grid[r * h : (r + 1) * h, col * w : (col + 1) * w] = f
+        self.recorded_frames.append(grid)
 
     def reset(self, *, seed: int | None = None, options: dict[str, Any] | None = None):
         result = super().reset(seed=seed, options=options)
@@ -190,7 +238,7 @@ class RecordVideo(VectorWrapper):
         assert self.recording
         if len(self.recorded_frames) == 0:
             logger.warn("Ignored saving a video as there were zero frames to save.")
-        elif self._has_moviepy:
+        elif self._encoder == "moviepy":
             from moviepy.video.io.ImageSequenceClip import ImageSequenceClip
 
             clip = ImageSequenceClip(self.recorded_frames, fps=self.frames_per_sec)
@@ -198,6 +246,17 @@ class RecordVideo(VectorWrapper):
                 os.path.join(self.video_folder, f"{self._video_name}.mp4"),
                 logger=None if self.disable_logger else "bar",
             )
+        elif self._encoder == "cv2":
+            import cv2
+
+            path = os.path.join(self.video_folder, f"{self._video_name}.mp4")
+            h, w = self.recorded_frames[0].shape[:2]
+            writer = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*"mp4v"), self.frames_per_sec, (w, h)
+            )
+            for frame in self.recorded_frames:
+                writer.write(frame[..., ::-1].copy())  # RGB -> BGR
+            writer.release()
         else:
             np.savez_compressed(
                 os.path.join(self.video_folder, f"{self._video_name}.npz"),

@@ -29,10 +29,19 @@ class TransformAction(VectorActionWrapper):
         single_action_space: Space | None = None,
     ):
         super().__init__(env)
-        if action_space is not None:
+        # space resolution matches reference vectorize_action.py:77-90
+        if action_space is None:
+            if single_action_space is not None:
+                self.single_action_space = single_action_space
+                self.action_space = batch_space(single_action_space, self.num_envs)
+        else:
             self.action_space = action_space
-        if single_action_space is not None:
-            self.single_action_space = single_action_space
+            if single_action_space is not None:
+                self.single_action_space = single_action_space
+        if self.action_space != batch_space(self.single_action_space, self.num_envs):
+            gym.logger.warn(
+                f"For {env}, the action space and the batched single action space don't match as expected, action_space={env.action_space}, batched single_action_space={batch_space(self.single_action_space, self.num_envs)}"
+            )
         self.func = func
 
     def actions(self, actions):

@@ -42,10 +42,21 @@ class TransformObservation(VectorObservationWrapper):
         single_observation_space: Space | None = None,
     ):
         super().__init__(env)
-        if observation_space is not None:
+        # space resolution matches reference vectorize_observation.py:72-88:
+        # a given single space implies the batched space; a mismatch between
+        # the two emits a warning rather than raising
+        if observation_space is None:
+            if single_observation_space is not None:
+                self.single_observation_space = single_observation_space
+                self.observation_space = batch_space(single_observation_space, self.num_envs)
+        else:
             self.observation_space = observation_space
-        if single_observation_space is not None:
-            self.single_observation_space = single_observation_space
+            if single_observation_space is not None:
+                self._single_observation_space = single_observation_space
+        if self.observation_space != batch_space(self.single_observation_space, self.num_envs):
+            gym.logger.warn(
+                f"For {env}, the observation space and the batched single observation space don't match as expected, observation_space={env.observation_space}, batched single_observation_space={batch_space(self.single_observation_space, self.num_envs)}"
+            )
         self.func = func
 
     def observations(self, observations):
