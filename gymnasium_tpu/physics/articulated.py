@@ -225,6 +225,19 @@ def integrate_pos(model: ArticulatedModel, q, v, dt):
     return jnp.concatenate([pos, quat, joints])
 
 
+def _mm(jnp, A, B):
+    """3x3 @ 3x3 as broadcast-multiply-sum: vmapped ``@`` lowers to a
+    dot_general whose 3-wide dims pad to 128-wide MXU tiles AND break XLA
+    elementwise fusion; this form stays on the VPU and fuses with its
+    neighbors in the FK chain."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def _mv(jnp, A, v):
+    """3x3 @ 3 as broadcast-multiply-sum (see _mm)."""
+    return jnp.sum(A * v[..., None, :], axis=-1)
+
+
 def _axis_angle_mat(jnp, axis, theta):
     """Rodrigues rotation about a fixed (numpy) unit axis."""
     ax = jnp.asarray(axis)
@@ -283,8 +296,8 @@ def fk(model: ArticulatedModel, q):
             continue
 
         R_fix = jnp.asarray(_quat_to_mat_np(model.bodies.quat[b]))
-        R = R_p @ R_fix
-        p = p_p + R_p @ jnp.asarray(model.bodies.pos[b])
+        R = _mm(jnp, R_p, R_fix)
+        p = p_p + _mv(jnp, R_p, jnp.asarray(model.bodies.pos[b]))
 
         start = int(model.bodies.dof_start[b])
         count = int(model.bodies.dof_count[b])
@@ -293,11 +306,11 @@ def fk(model: ArticulatedModel, q):
             anchor = jnp.asarray(model.joints.anchor[k])
             qk = q[_q_index(model, k)] - float(model.joints.ref[k])
             if int(model.joints.jtype[k]) == SLIDE:
-                p = p + R @ (jnp.asarray(axis) * qk)
+                p = p + _mv(jnp, R, jnp.asarray(axis) * qk)
             else:
                 R_j = _axis_angle_mat(jnp, axis, qk)
-                p = p + R @ (anchor - R_j @ anchor)
-                R = R @ R_j
+                p = p + _mv(jnp, R, anchor - _mv(jnp, R_j, anchor))
+                R = _mm(jnp, R, R_j)
         Rs.append(R)
         ps.append(p)
     return jnp.stack(Rs), jnp.stack(ps)
@@ -344,8 +357,8 @@ def fk_full(model: ArticulatedModel, q):
             continue
 
         R_fix = jnp.asarray(_quat_to_mat_np(model.bodies.quat[b]))
-        R = R_p @ R_fix
-        p = p_p + R_p @ jnp.asarray(model.bodies.pos[b])
+        R = _mm(jnp, R_p, R_fix)
+        p = p_p + _mv(jnp, R_p, jnp.asarray(model.bodies.pos[b]))
 
         start = int(model.bodies.dof_start[b])
         count = int(model.bodies.dof_count[b])
@@ -353,15 +366,15 @@ def fk_full(model: ArticulatedModel, q):
             axis = model.joints.axis[k]
             anchor = jnp.asarray(model.joints.anchor[k])
             qk = q[_q_index(model, k)] - float(model.joints.ref[k])
-            axes_w[k] = R @ jnp.asarray(axis)
+            axes_w[k] = _mv(jnp, R, jnp.asarray(axis))
             if int(model.joints.jtype[k]) == SLIDE:
                 pivots_w[k] = jnp.zeros(3)
-                p = p + R @ (jnp.asarray(axis) * qk)
+                p = p + _mv(jnp, R, jnp.asarray(axis) * qk)
             else:
-                pivots_w[k] = p + R @ anchor  # fixed point of the rotation
+                pivots_w[k] = p + _mv(jnp, R, anchor)  # fixed point of the rotation
                 R_j = _axis_angle_mat(jnp, axis, qk)
-                p = p + R @ (anchor - R_j @ anchor)
-                R = R @ R_j
+                p = p + _mv(jnp, R, anchor - _mv(jnp, R_j, anchor))
+                R = _mm(jnp, R, R_j)
         Rs.append(R)
         ps.append(p)
     return jnp.stack(Rs), jnp.stack(ps), jnp.stack(axes_w), jnp.stack(pivots_w)
@@ -488,6 +501,22 @@ def ancestor_dof_mask(model: ArticulatedModel) -> np.ndarray:
             mask[b, s : s + c] = True
             node = int(model.bodies.parent[node])
     return mask
+
+
+def strict_dof_ancestors(model: ArticulatedModel) -> np.ndarray:
+    """Static (nv, nv) bool: dof j is applied BEFORE dof k on k's chain
+    (ancestor-body dofs plus same-body dofs with smaller index)."""
+    nv = model.nv
+    body_mask = ancestor_dof_mask(model)
+    strict = np.zeros((nv, nv), dtype=bool)
+    for k in range(nv):
+        b = int(model.joints.body[k])
+        parent = int(model.bodies.parent[b])
+        if parent >= 0:
+            strict[k] = body_mask[parent]
+        s = int(model.bodies.dof_start[b])
+        strict[k, s:k] = True
+    return strict
 
 
 def _spd_solve(jnp, A, b):
@@ -684,21 +713,88 @@ def make_dynamics(model: ArticulatedModel):
     stiffness = jnp.asarray(model.joints.stiffness)
     joint_ref = jnp.asarray(model.joints.ref)
 
+    # static strict-ancestor masks for the closed-form Jacobian rates. A
+    # quaternion root's three angular "axes" are body-fixed vectors, so each
+    # rotates with the FULL body angular velocity — complete the ball block
+    # in the rotation mask (their own cross terms a_k × a_k q̇_k vanish).
+    _strict_np = strict_dof_ancestors(model)
+    _strict_rot_np = _strict_np.copy()
+    if model.root_free:
+        _strict_rot_np[3:6, 3:6] = True
+    strict_anc = jnp.asarray(_strict_np.astype(np.float32))
+    strict_rot = jnp.asarray(_strict_rot_np.astype(np.float32))
+    hinge_dof = jnp.asarray((np.asarray(model.joints.jtype) == HINGE)[:, None].astype(np.float32))
+    slide_dof = 1.0 - hinge_dof
+
     def _jacobians_with_rates(q, qd):
-        """ONE jvp along the position flow yields the Jacobians (primals)
-        AND their time derivatives contracted with q̇ (tangents) — the
-        convective accelerations a⁰ = (dJᵥ/dt)q̇, α⁰ = (dJ_ω/dt)q̇. Sharing
-        the primal pass with M-assembly/contacts saves a full FK+Jacobian
-        traversal per substep vs calling all_jacobians twice."""
+        """ONE primal FK pass; the Jacobian time-derivatives (convective
+        accelerations a⁰ = (dJᵥ/dt)q̇, α⁰ = (dJ_ω/dt)q̇) assemble in CLOSED
+        FORM from the same axes/pivots — no tangent traversal of the
+        kinematic chain at all:
 
-        def jac_t(t):
-            return all_jacobians(integrate_pos(model, q, qd, t))
+        - a world axis is a material vector of its pre-joint frame:
+          ȧ_k = ω_pre(k) × a_k with ω_pre(k) = Σ_{j≺k, hinge} a_j q̇_j;
+        - a pivot is a material point:
+          ȯ_k = Σ_{j≺k} q̇_j (slide: a_j; hinge: a_j × (o_k − o_j))
+              = S_k + W_k × o_k − C_k   (three (nv,nv)·(nv,3) mask
+          contractions — parallel work instead of a sequential chain);
+        - product rule: dJᵥ[b,k]/dt = ȧ_k × (pc_b − o_k)
+          + a_k × (ṗc_b − ȯ_k), with ṗc_b = Jᵥ[b]·q̇.
 
-        primals, tangents = jax.jvp(jac_t, (jnp.zeros(()),), (jnp.ones(()),))
-        dJv, dJw = tangents[3], tangents[4]
+        Verified against the Lagrangian oracle (non-free robots) and the
+        energy/momentum/MuJoCo-parity suite (free roots) in tests/physics/.
+        """
+        R, p, aw, ow = fk_full(model, q)
+        pc = p + jnp.sum(R * coms[:, None, :], axis=-1)
+
+        aw_b = aw[None, :, :]
+        lever = pc[:, None, :] - ow[None, :, :]
+        Jv = jnp.where(slide_mask, aw_b, jnp.cross(aw_b, lever)) * amask[:, :, None]
+        Jw = jnp.where(slide_mask, 0.0, aw_b) * amask[:, :, None]
+
+        # closed-form rates
+        u = aw * qd[:, None] * hinge_dof  # (nv,3) hinge rotation rates
+        s = aw * qd[:, None] * slide_dof  # (nv,3) slide velocities
+        w_pre_rot = jnp.sum(strict_rot[:, :, None] * u[None, :, :], axis=1)
+        daw = jnp.cross(w_pre_rot, aw)  # (nv,3)
+        S = jnp.sum(strict_anc[:, :, None] * s[None, :, :], axis=1)
+        W = jnp.sum(strict_anc[:, :, None] * u[None, :, :], axis=1)
+        C = jnp.sum(strict_anc[:, :, None] * jnp.cross(u, ow)[None, :, :], axis=1)
+        dow = S + jnp.cross(W, ow) - C  # (nv,3) pivot velocities
+        dpc = jnp.sum(Jv * qd[None, :, None], axis=1)  # (nbody,3) com velocities
+
+        daw_b = daw[None, :, :]
+        dlever = dpc[:, None, :] - dow[None, :, :]
+        dJv = (
+            jnp.where(
+                slide_mask,
+                daw_b,
+                jnp.cross(daw_b, lever) + jnp.cross(aw_b, dlever),
+            )
+            * amask[:, :, None]
+        )
         a0 = jnp.sum(dJv * qd[None, :, None], axis=1)
-        al0 = jnp.sum(dJw * qd[None, :, None], axis=1)
-        return primals, a0, al0
+        al0 = jnp.sum(
+            jnp.where(slide_mask, 0.0, daw_b) * amask[:, :, None] * qd[None, :, None],
+            axis=1,
+        )
+
+        if has_contacts:
+            p_c = jnp.sum(contact_sel[:, :, None] * p[None, :, :], axis=1)
+            R_c = jnp.sum(contact_sel[:, :, None, None] * R[None, :, :, :], axis=1)
+            cpts = p_c + jnp.sum(R_c * contact_offs[:, None, :], axis=-1)
+            Jc = (
+                jnp.where(
+                    slide_mask, aw_b, jnp.cross(aw_b, cpts[:, None, :] - ow[None, :, :])
+                )
+                * cmask[:, :, None]
+            )
+        else:
+            cpts = jnp.zeros((0, 3))
+            Jc = jnp.zeros((0, nv, 3))
+        RI = jnp.sum(R[:, :, :, None] * inertias[:, None, :, :], axis=2)
+        I_world = jnp.sum(RI[:, :, None, :] * R[:, None, :, :], axis=-1)
+        return (pc, R, cpts, Jv, Jw, Jc, I_world), a0, al0
 
     def _bias_terms(q, qd, Jv, Jw, I_world, a0, al0):
         """Newton–Euler velocity bias + conservative forces.
