@@ -228,6 +228,7 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
 
     bodies: list[dict] = []
     dofs: list[dict] = []
+    render_geoms: list[dict] = []
     contact_spheres: list[tuple[int, np.ndarray, float]] = []
     joint_name_to_dofs: dict[str, list[int]] = {}
     body_name_to_idx: dict[str, int] = {}
@@ -308,6 +309,29 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
                 attrs = defaults.get("geom", child, childclass)
                 mass, com, inertia, R, r, length, gtype = _geom_mass_props(attrs, angle_scale)
                 geom_props.append((mass, com, inertia))
+                # record the primitive for the software 3D renderer
+                # (render3d.py): local center/orientation, type-specific
+                # size, and color
+                if gtype in ("sphere", "capsule", "cylinder", "box", "ellipsoid"):
+                    if gtype == "capsule":
+                        gsize = [float(r), float(length / 2)]
+                    elif gtype == "sphere":
+                        gsize = [float(r)]
+                    else:
+                        gsize = [float(x) for x in _parse_vec(attrs.get("size"), [r, r, r])[:3]]
+                    render_geoms.append(
+                        dict(
+                            body=body_idx,
+                            type=gtype,
+                            size=gsize,
+                            pos=[float(x) for x in com],
+                            mat=[float(x) for x in np.asarray(R).reshape(-1)],
+                            rgba=[
+                                float(x)
+                                for x in _parse_vec(attrs.get("rgba"), [0.5, 0.5, 0.55, 1.0])
+                            ],
+                        )
+                    )
                 contype = attrs.get("contype", "1")
                 if contype != "0" and gtype in ("capsule", "sphere", "box", "cylinder", "ellipsoid"):
                     if gtype == "capsule" and length > 0:
@@ -438,5 +462,7 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
         "dof_names": [d["name"] for d in dofs],
         "joint_dofs": joint_name_to_dofs,
         "free_root": bool(dofs) and dofs[0]["name"] == dofs[5]["name"] if len(dofs) >= 6 else False,
+        "render_geoms": render_geoms,
+        "has_floor": bool(ground_z is not None and np.isfinite(ground_z)),
     }
     return model, meta

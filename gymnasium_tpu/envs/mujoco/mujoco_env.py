@@ -238,7 +238,7 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
                 "You are calling render method without specifying any render mode."
             )
             return None
-        frame = self._render_side_view()
+        frame = self._render_frame()
         if self.render_mode == "human":
             if self._display is None:
                 from gymnasium_tpu.utils.human_display import HumanDisplay
@@ -249,6 +249,17 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
             self._display.show(frame)
             return None
         return frame
+
+    def _render_frame(self, width: int = 480, height: int = 480) -> np.ndarray:
+        """3D software-rasterized frame of the current state (render3d.py —
+        the OffScreenViewer-role renderer, reference mujoco_rendering.py:334);
+        falls back to the schematic 2D side view for models compiled without
+        render geoms."""
+        if self.meta.get("render_geoms"):
+            from gymnasium_tpu.envs.mujoco.render3d import render_robot
+
+            return render_robot(self, width, height)
+        return self._render_side_view(width, height)
 
     def _render_side_view(self, width: int = 480, height: int = 480) -> np.ndarray:
         """Schematic x-z side view of the contact spheres and body frames."""
