@@ -100,3 +100,37 @@ def test_gather_trajectory_replicates():
     gathered = gather_trajectory(traj, mesh)
     assert gathered.obs.sharding.is_fully_replicated
     assert np.asarray(gathered.obs).shape == (16, 64, 4)
+
+
+def test_per_device_work_invariance():
+    """Scaling-efficiency proxy on virtual devices (wall-clock there is
+    meaningless): with the TOTAL env batch scaled proportionally to the mesh
+    size, each device's addressable shard of the carry stays EXACTLY the
+    same shape — so on real hardware per-device work is constant and the
+    step contains no collectives that grow with the mesh. Real-chip
+    efficiency then reduces to ICI latency, measured by
+    parallel.scaling_report when multi-chip hardware exists."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    per_device_envs = 16
+    shard_shapes = {}
+    for n_dev in (2, 4, 8):
+        devices = jax.devices()[:n_dev]
+        mesh = make_mesh(devices)
+        env = JaxVectorEnv(
+            CartPoleFunctional(),
+            num_envs=per_device_envs * n_dev,
+            max_episode_steps=50,
+            seed=0,
+            sharding=NamedSharding(mesh, P("dp")),
+        )
+        env.reset()
+        env.step(jnp.zeros(per_device_envs * n_dev, jnp.int32))
+        shards = env.carry.state.addressable_shards
+        assert len(shards) == n_dev
+        shapes = {s.data.shape for s in shards}
+        assert len(shapes) == 1, f"uneven shards at {n_dev} devices: {shapes}"
+        shard_shapes[n_dev] = shapes.pop()
+    assert len(set(shard_shapes.values())) == 1, (
+        f"per-device work varies with mesh size: {shard_shapes}"
+    )
