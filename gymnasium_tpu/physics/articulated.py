@@ -488,6 +488,132 @@ def fk_full_batched(model: ArticulatedModel, q, plan=None):
     return R, p, jnp.stack(axes_w), jnp.stack(pivots_w)
 
 
+def _build_stacked_plan(model: ArticulatedModel):
+    """Node plan for :func:`fk_full_stacked`.
+
+    Nodes: kind 0 = body fixed transform, kind 1 = one dof, kind 2 = free
+    root (consumes q[0:7] in one node). Returns (nodes, levels) with nodes =
+    [(kind, index, parent_node)] and levels = lists of node ids at equal
+    depth (composable in one stacked op)."""
+    nbody = len(model.bodies.parent)
+    nodes: list[tuple[int, int, int]] = []
+    body_final: dict[int, int] = {}
+    for b in range(nbody):
+        parent = int(model.bodies.parent[b])
+        parent_node = body_final[parent] if parent >= 0 else -1
+        if _is_free_root_body(model, b):
+            nodes.append((2, b, parent_node))
+            body_final[b] = len(nodes) - 1
+            continue
+        nodes.append((0, b, parent_node))
+        cur = len(nodes) - 1
+        start, count = int(model.bodies.dof_start[b]), int(model.bodies.dof_count[b])
+        for k in range(start, start + count):
+            nodes.append((1, k, cur))
+            cur = len(nodes) - 1
+        body_final[b] = cur
+    depth = [0] * len(nodes)
+    for i, (_, _, p) in enumerate(nodes):
+        depth[i] = 0 if p < 0 else depth[p] + 1
+    levels = [
+        [i for i in range(len(nodes)) if depth[i] == d] for d in range(max(depth) + 1)
+    ]
+    return nodes, levels, body_final
+
+
+def fk_full_stacked(model: ArticulatedModel, q, plan=None):
+    """:func:`fk_full` with per-LEVEL stacked composition: all nodes at equal
+    tree depth compose in ONE batched multiply-sum, so the sequential chain
+    is the tree depth (~6 for Ant) instead of the node count (~28). Output
+    identical to ``fk_full``; free roots supported (the root collapses to a
+    single quaternion node)."""
+    import jax.numpy as jnp
+
+    nodes, levels, body_final = plan if plan is not None else _build_stacked_plan(model)
+    nbody = len(model.bodies.parent)
+    nv = model.nv
+
+    # --- all local transforms up front (one fused batch for the dofs) -----
+    axes = jnp.asarray(model.joints.axis)
+    anchors = jnp.asarray(model.joints.anchor)
+    refs = jnp.asarray(model.joints.ref)
+    qj = jnp.stack([q[_q_index(model, k)] for k in range(nv)]) if model.root_free else q
+    th = qj - refs
+    c = jnp.cos(th)[:, None, None]
+    s = jnp.sin(th)[:, None, None]
+    ax, ay, az = axes[:, 0], axes[:, 1], axes[:, 2]
+    zero = jnp.zeros_like(ax)
+    K = jnp.stack(
+        [
+            jnp.stack([zero, -az, ay], axis=-1),
+            jnp.stack([az, zero, -ax], axis=-1),
+            jnp.stack([-ay, ax, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+    aa = axes[:, :, None] * axes[:, None, :]
+    R_dof = jnp.eye(3) * c + s * K + (1 - c) * aa  # (nv,3,3)
+    p_hinge = anchors - jnp.sum(R_dof * anchors[:, None, :], axis=-1)
+    is_slide = jnp.asarray(model.joints.jtype == SLIDE)
+    R_dof = jnp.where(is_slide[:, None, None], jnp.eye(3), R_dof)
+    p_dof = jnp.where(is_slide[:, None], axes * th[:, None], p_hinge)
+
+    R_loc, p_loc = [None] * len(nodes), [None] * len(nodes)
+    for i, (kind, idx, _) in enumerate(nodes):
+        if kind == 0:
+            R_loc[i] = jnp.asarray(_quat_to_mat_np(model.bodies.quat[idx]))
+            p_loc[i] = jnp.asarray(model.bodies.pos[idx])
+        elif kind == 1:
+            R_loc[i] = R_dof[idx]
+            p_loc[i] = p_dof[idx]
+        else:  # free root: absolute pose from state
+            R_loc[i] = _quat_to_mat_j(jnp, q[3:7])
+            p_loc[i] = q[0:3]
+
+    # --- compose one level at a time --------------------------------------
+    Rw, pw = [None] * len(nodes), [None] * len(nodes)
+    for level in levels:
+        roots = [i for i in level if nodes[i][2] < 0]
+        inner = [i for i in level if nodes[i][2] >= 0]
+        for i in roots:
+            Rw[i], pw[i] = R_loc[i], p_loc[i]
+        if not inner:
+            continue
+        Rp = jnp.stack([Rw[nodes[i][2]] for i in inner])  # (L,3,3)
+        pp = jnp.stack([pw[nodes[i][2]] for i in inner])
+        Rl = jnp.stack([R_loc[i] for i in inner])
+        pl = jnp.stack([p_loc[i] for i in inner])
+        Rn = jnp.sum(Rp[:, :, :, None] * Rl[:, None, :, :], axis=2)  # (L,3,3)
+        pn = pp + jnp.sum(Rp * pl[:, None, :], axis=-1)
+        for slot, i in enumerate(inner):
+            Rw[i], pw[i] = Rn[slot], pn[slot]
+
+    R = jnp.stack([Rw[body_final[b]] for b in range(nbody)])
+    p = jnp.stack([pw[body_final[b]] for b in range(nbody)])
+
+    # --- per-dof world axes/pivots from the pre-dof frames -----------------
+    axes_w, pivots_w = [None] * nv, [None] * nv
+    for i, (kind, idx, parent) in enumerate(nodes):
+        if kind == 1:
+            Rpre = Rw[parent]
+            ppre = pw[parent]
+            axes_w[idx] = jnp.sum(Rpre * axes[idx][None, :], axis=-1)
+            if int(model.joints.jtype[idx]) == SLIDE:
+                pivots_w[idx] = jnp.zeros(3)
+            else:
+                pivots_w[idx] = ppre + jnp.sum(Rpre * anchors[idx][None, :], axis=-1)
+        elif kind == 2:
+            Rroot, proot = Rw[i], pw[i]
+            start = int(model.bodies.dof_start[idx])
+            for k in range(3):
+                axes_w[start + k] = jnp.asarray(np.eye(3)[k])
+                pivots_w[start + k] = jnp.zeros(3)
+            for k in range(3):
+                axes_w[start + 3 + k] = Rroot[:, k]
+                pivots_w[start + 3 + k] = proot
+    return R, p, jnp.stack(axes_w), jnp.stack(pivots_w)
+
+
 def ancestor_dof_mask(model: ArticulatedModel) -> np.ndarray:
     """Static (nbody, nv) bool: dof k moves body b (k belongs to b or an
     ancestor of b)."""
@@ -650,10 +776,6 @@ def make_dynamics(model: ArticulatedModel):
 
         Layout: Jv/Jw are (nbody, nv, 3); Jc is (nc, nv, 3).
         """
-        # Sequential fk_full wins for these tree sizes: the level-batched
-        # variant (fk_full_batched) cut humanoid's critical path 36->15 for
-        # +13%, but its batched local-transform precompute cost shallow
-        # robots ~30% (measured on TPU, N=4096). Revisit if deeper trees land.
         R, p, aw, ow = fk_full(model, q)
         pc = p + jnp.sum(R * coms[:, None, :], axis=-1)
         if has_contacts:
@@ -744,6 +866,11 @@ def make_dynamics(model: ArticulatedModel):
         Verified against the Lagrangian oracle (non-free robots) and the
         energy/momentum/MuJoCo-parity suite (free roots) in tests/physics/.
         """
+        # NOTE: fk_full_stacked (level-stacked composition) is bit-equal and
+        # shortens the op chain ~4x, but its stack/slice-heavy graph blew
+        # XLA:TPU compile time past 9 minutes for the rollout scan (vs ~10 s
+        # warm here) — unusable until compile cost is addressed. Sequential
+        # fk_full stays on the hot path.
         R, p, aw, ow = fk_full(model, q)
         pc = p + jnp.sum(R * coms[:, None, :], axis=-1)
 

@@ -154,3 +154,16 @@ def test_level_batched_fk_matches_sequential(robot):
     q, _ = _rand_state(model, seed=7)
     for a, b in zip(fk_full(model, q), fk_full_batched(model, q)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_level_stacked_fk_matches_sequential(robot):
+    """fk_full_stacked (level-STACKED composition, free roots included) must
+    reproduce fk_full exactly — verified infrastructure; kept off the hot
+    path because its graph blows XLA:TPU compile time (see
+    _jacobians_with_rates note)."""
+    from gymnasium_tpu.physics.articulated import fk_full, fk_full_stacked
+
+    name, model, _ = robot
+    q, _ = _rand_state(model, seed=9)
+    for a, b in zip(fk_full(model, q), fk_full_stacked(model, q)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
