@@ -85,16 +85,16 @@ class LunarLander(gym.Env[np.ndarray, Any], EzPickle):
             self.action_space = spaces.Discrete(4)
 
         self.state: dict | None = None
-        self._wind_idx = 0
-        self._torque_idx = 0
+        self.wind_idx = 0
+        self.torque_idx = 0
 
     def reset(self, *, seed: int | None = None, options: dict[str, Any] | None = None):
         super().reset(seed=seed)
         terrain_u = self.np_random.uniform(0, 1, size=(dyn.CHUNKS + 1,))
         force_u = self.np_random.uniform(-1, 1, size=(2,))
         self.state = dyn.initial_state(np, terrain_u[None], force_u[None], self.params)
-        self._wind_idx = int(self.np_random.integers(-9999, 9999))
-        self._torque_idx = int(self.np_random.integers(-9999, 9999))
+        self.wind_idx = int(self.np_random.integers(-9999, 9999))
+        self.torque_idx = int(self.np_random.integers(-9999, 9999))
 
         obs = dyn.observe(
             np, self.state["body"], self.state["leg1"], self.state["leg2"]
@@ -112,8 +112,8 @@ class LunarLander(gym.Env[np.ndarray, Any], EzPickle):
             action = np.asarray([action])
 
         dispersion = self.np_random.uniform(-1.0, 1.0, size=(1, 2))
-        wind, self._wind_idx, self._torque_idx = _wind_terms(
-            self.np_random, self._wind_idx, self._torque_idx, self.params, self.enable_wind
+        wind, self.wind_idx, self.torque_idx = _wind_terms(
+            self.np_random, self.wind_idx, self.torque_idx, self.params, self.enable_wind
         )
         self.state = dyn.full_step(
             np, self.state, action, dispersion, wind[None], self.params, self.continuous
@@ -274,3 +274,56 @@ class LunarLanderContinuous:
             "To use this environment, instead create it by specifying the continuous keyword in gym.make, i.e.\n"
             'gym.make("LunarLander-v3", continuous=True)'
         )
+
+
+def heuristic(env, s):
+    """PD landing controller over the 8-dim lander state — the published
+    Gym/Gymnasium demonstration control law (role of reference
+    lunar_lander.py:793), gains tuned for this engine's dynamics.
+
+    Steers the target attitude toward the pad from horizontal offset and
+    speed, holds a descent profile proportional to the offset, and after leg
+    contact only brakes the vertical speed.
+    """
+    import numpy as np
+
+    angle_target = float(np.clip(0.5 * s[0] + 1.0 * s[2], -0.4, 0.4))
+    hover_target = 0.55 * abs(float(s[0]))
+
+    angle_cmd = (angle_target - float(s[4])) * 0.5 - float(s[5]) * 1.0
+    hover_cmd = (hover_target - float(s[1])) * 0.5 - float(s[3]) * 0.5
+    if s[6] or s[7]:  # a leg touched down: just kill vertical speed
+        angle_cmd = 0.0
+        hover_cmd = -float(s[3]) * 0.5
+
+    if env.unwrapped.continuous:
+        return np.clip(
+            np.array([hover_cmd * 20 - 1, -angle_cmd * 20]), -1.0, 1.0
+        ).astype(np.float32)
+    if hover_cmd > abs(angle_cmd) and hover_cmd > 0.05:
+        return 2  # main engine
+    if angle_cmd < -0.05:
+        return 3  # right engine
+    if angle_cmd > 0.05:
+        return 1  # left engine
+    return 0
+
+
+def demo_heuristic_lander(env, seed=None, render=False):
+    """Roll one episode under :func:`heuristic`; returns the total reward
+    (role of reference lunar_lander.py:755)."""
+    total_reward = 0.0
+    s, _ = env.reset(seed=seed)
+    while True:
+        s, r, terminated, truncated, _ = env.step(heuristic(env, s))
+        total_reward += float(r)
+        if render:
+            env.render()
+        if terminated or truncated:
+            break
+    if render:
+        env.close()
+    return total_reward
+
+
+__all__ += ["heuristic", "demo_heuristic_lander"]

@@ -136,6 +136,9 @@ def play(
 
     key_code_to_action = {}
     for key_combination, action in keys_to_action.items():
+        # a bare int key means a single-key combination (reference play.py)
+        if isinstance(key_combination, int):
+            key_combination = (key_combination,)
         key_code = tuple(
             sorted(ord(key) if isinstance(key, str) else key for key in key_combination)
         )

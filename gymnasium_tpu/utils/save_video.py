@@ -47,15 +47,29 @@ def save_video(
     path_prefix = f"{video_folder}/{name_prefix}"
 
     def _write(clip_frames, path):
+        # encoder chain matches RecordVideo: moviepy > OpenCV > raw .npz
         try:
             from moviepy.video.io.ImageSequenceClip import ImageSequenceClip
 
             clip = ImageSequenceClip(clip_frames, fps=fps)
             clip.write_videofile(f"{path}.mp4", logger=save_logger, **kwargs)
+            return
+        except ImportError:
+            pass
+        try:
+            import cv2
+
+            h, w = clip_frames[0].shape[:2]
+            writer = cv2.VideoWriter(
+                f"{path}.mp4", cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+            )
+            for frame in clip_frames:
+                writer.write(np.asarray(frame)[..., ::-1].copy())  # RGB -> BGR
+            writer.release()
         except ImportError:
             np.savez_compressed(f"{path}.npz", frames=np.stack(clip_frames), fps=fps)
             logger.warn(
-                "moviepy is not installed; frames were saved as .npz instead of encoded video."
+                "Neither moviepy nor OpenCV is installed; frames were saved as .npz instead of encoded video."
             )
 
     if episode_trigger is not None and episode_trigger(episode_index):
