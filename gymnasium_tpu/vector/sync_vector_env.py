@@ -1,8 +1,11 @@
 """SyncVectorEnv: serial host-side vectorization of arbitrary Python envs.
 
-Parity with reference gymnasium/vector/sync_vector_env.py:26-378 — for-loop
-over N sub-envs with preallocated batched buffers, the three autoreset modes,
-masked partial reset, and call/get_attr/set_attr broadcast.
+Behavior parity with reference gymnasium/vector/sync_vector_env.py:26-378
+(batched buffers, the three autoreset modes, masked partial reset,
+call/get/set broadcast); internals follow this repo's own design: the
+autoreset policy is selected ONCE at construction as a per-env step closure
+(the same pattern as the async worker's ``_stepper_for``), and reset is
+split into full/masked paths sharing one seed normalizer.
 
 On this framework this class exists for wrapping arbitrary Python envs; the
 device path is :class:`~gymnasium_tpu.vector.JaxVectorEnv`.
@@ -16,7 +19,6 @@ from typing import Any, Callable, Iterator, Sequence
 import numpy as np
 
 from gymnasium_tpu import Env, Space
-from gymnasium_tpu.error import Error
 from gymnasium_tpu.spaces.utils import is_space_dtype_shape_equiv
 from gymnasium_tpu.vector.utils import (
     batch_differing_spaces,
@@ -28,6 +30,33 @@ from gymnasium_tpu.vector.utils import (
 from gymnasium_tpu.vector.vector_env import AutoresetMode, VectorEnv
 
 __all__ = ["SyncVectorEnv"]
+
+
+def _normalize_seeds(seed, num_envs: int) -> list[int | None]:
+    if seed is None:
+        return [None] * num_envs
+    if isinstance(seed, int):
+        return [seed + i for i in range(num_envs)]
+    seeds = list(seed)
+    assert len(seeds) == num_envs, (
+        f"If seeds are passed as a list the length must match num_envs={num_envs} but got length={len(seeds)}."
+    )
+    return seeds
+
+
+def _validate_reset_mask(mask, num_envs: int) -> None:
+    assert isinstance(mask, np.ndarray), (
+        f"`options['reset_mask': mask]` must be a numpy array, got {type(mask)}"
+    )
+    assert mask.shape == (num_envs,), (
+        f"`options['reset_mask': mask]` must have shape `({num_envs},)`, got {mask.shape}"
+    )
+    assert mask.dtype == np.bool_, (
+        f"`options['reset_mask': mask]` must have `dtype=np.bool_`, got {mask.dtype}"
+    )
+    assert np.any(mask), (
+        f"`options['reset_mask': mask]` must contain a boolean array, got reset_mask={mask}"
+    )
 
 
 class SyncVectorEnv(VectorEnv):
@@ -45,7 +74,9 @@ class SyncVectorEnv(VectorEnv):
         self.copy = copy
         self.observation_mode = observation_mode
         self.autoreset_mode = (
-            AutoresetMode(autoreset_mode) if isinstance(autoreset_mode, str) else autoreset_mode
+            AutoresetMode(autoreset_mode)
+            if isinstance(autoreset_mode, str)
+            else autoreset_mode
         )
         assert isinstance(self.autoreset_mode, AutoresetMode)
 
@@ -55,33 +86,45 @@ class SyncVectorEnv(VectorEnv):
         self.metadata["autoreset_mode"] = self.autoreset_mode
         self.render_mode = self.envs[0].render_mode
 
+        self._resolve_spaces(observation_mode)
+        self._check_sub_env_spaces(observation_mode)
+
+        self._observations = create_empty_array(
+            self.single_observation_space, n=self.num_envs, fn=np.zeros
+        )
+        self._rewards = np.zeros((self.num_envs,), dtype=np.float64)
+        self._terminations = np.zeros((self.num_envs,), dtype=np.bool_)
+        self._truncations = np.zeros((self.num_envs,), dtype=np.bool_)
+        self._needs_autoreset = np.zeros((self.num_envs,), dtype=np.bool_)
+
+        self._step_one = self._make_step_policy()
+
+    # -- construction helpers ----------------------------------------------
+
+    def _resolve_spaces(self, mode) -> None:
         self.single_action_space = self.envs[0].action_space
         self.action_space = batch_space(self.single_action_space, self.num_envs)
-
-        if isinstance(observation_mode, tuple) and len(observation_mode) == 2:
-            assert isinstance(observation_mode[0], Space)
-            assert isinstance(observation_mode[1], Space)
-            self.observation_space, self.single_observation_space = observation_mode
-        elif observation_mode == "same":
+        if isinstance(mode, tuple) and len(mode) == 2:
+            assert isinstance(mode[0], Space) and isinstance(mode[1], Space)
+            self.observation_space, self.single_observation_space = mode
+        elif mode == "same":
             self.single_observation_space = self.envs[0].observation_space
-            for env in self.envs:
-                assert env.observation_space == self.single_observation_space, (
-                    "SyncVectorEnv(..., observation_mode='same') however the sub-environments observation spaces are not equivalent. "
-                    "If this is intentional, use `observation_mode='different'` instead."
-                )
-            self.observation_space = batch_space(self.single_observation_space, self.num_envs)
-        elif observation_mode == "different":
+            self.observation_space = batch_space(
+                self.single_observation_space, self.num_envs
+            )
+        elif mode == "different":
             self.single_observation_space = self.envs[0].observation_space
             self.observation_space = batch_differing_spaces(
                 [env.observation_space for env in self.envs]
             )
         else:
-            raise ValueError(f"Invalid `observation_mode`, expected: 'same' or 'different' or tuple of single and batch observation space, actual got {observation_mode}")
+            raise ValueError(
+                f"Invalid `observation_mode`, expected: 'same' or 'different' or tuple of single and batch observation space, actual got {mode}"
+            )
 
-        # check sub-environment obs and action spaces
-        # (reference sync_vector_env.py:95-110 — also applies to tuple mode)
+    def _check_sub_env_spaces(self, mode) -> None:
         for env in self.envs:
-            if observation_mode == "same":
+            if mode == "same":
                 assert env.observation_space == self.single_observation_space, (
                     f"SyncVectorEnv(..., observation_mode='same') however the sub-environments observation spaces are not equivalent. single_observation_space={self.single_observation_space}, sub-environment observation_space={env.observation_space}. If this is intentional, use `observation_mode='different'` instead."
                 )
@@ -91,19 +134,54 @@ class SyncVectorEnv(VectorEnv):
                 ), (
                     f"SyncVectorEnv(..., observation_mode='different' or custom space) however the sub-environments observation spaces do not share a common shape and dtype, single_observation_space={self.single_observation_space}, sub-environment observation space={env.observation_space}"
                 )
-
             assert env.action_space == self.single_action_space, (
                 f"Sub-environment action space doesn't make the `single_action_space`, action_space={env.action_space}, single_action_space={self.single_action_space}"
             )
 
-        self._observations = create_empty_array(
-            self.single_observation_space, n=self.num_envs, fn=np.zeros
-        )
-        self._rewards = np.zeros((self.num_envs,), dtype=np.float64)
-        self._terminations = np.zeros((self.num_envs,), dtype=np.bool_)
-        self._truncations = np.zeros((self.num_envs,), dtype=np.bool_)
+    def _make_step_policy(self):
+        """Per-env ``step(i, action) -> (obs, info, extra_infos)`` closure,
+        chosen once by autoreset mode (mode dispatch outside the loop)."""
 
-        self._autoreset_envs = np.zeros((self.num_envs,), dtype=np.bool_)
+        def record(i, result):
+            obs, self._rewards[i], self._terminations[i], self._truncations[i], info = result
+            return obs, info
+
+        if self.autoreset_mode == AutoresetMode.NEXT_STEP:
+
+            def step_one(i, action):
+                # the step after a done ignores the action and resets
+                if self._needs_autoreset[i]:
+                    obs, info = self.envs[i].reset()
+                    self._rewards[i] = 0.0
+                    self._terminations[i] = False
+                    self._truncations[i] = False
+                    return obs, info, None
+                return (*record(i, self.envs[i].step(action)), None)
+
+        elif self.autoreset_mode == AutoresetMode.SAME_STEP:
+
+            def step_one(i, action):
+                obs, info = record(i, self.envs[i].step(action))
+                if self._terminations[i] or self._truncations[i]:
+                    final = {"final_obs": obs, "final_info": info}
+                    obs, info = self.envs[i].reset()
+                    return obs, info, final
+                return obs, info, None
+
+        elif self.autoreset_mode == AutoresetMode.DISABLED:
+
+            def step_one(i, action):
+                assert not self._needs_autoreset[i], (
+                    f"Environment {i} is done and AutoresetMode is DISABLED; call `reset` with a reset_mask."
+                )
+                return (*record(i, self.envs[i].step(action)), None)
+
+        else:
+            raise ValueError(f"Unexpected autoreset mode, {self.autoreset_mode}")
+
+        return step_one
+
+    # -- properties ---------------------------------------------------------
 
     @property
     def np_random_seed(self) -> tuple[int, ...]:
@@ -115,6 +193,8 @@ class SyncVectorEnv(VectorEnv):
         """Generators of all sub-environments."""
         return self.get_attr("np_random")
 
+    # -- reset --------------------------------------------------------------
+
     def reset(
         self,
         *,
@@ -122,123 +202,71 @@ class SyncVectorEnv(VectorEnv):
         options: dict[str, Any] | None = None,
     ):
         """Reset all (or a masked subset of) sub-environments."""
-        if seed is None:
-            seed = [None for _ in range(self.num_envs)]
-        elif isinstance(seed, int):
-            seed = [seed + i for i in range(self.num_envs)]
-        assert len(seed) == self.num_envs, (
-            f"If seeds are passed as a list the length must match num_envs={self.num_envs} but got length={len(seed)}."
-        )
-
-        # masked partial reset (reference sync_vector_env.py:192-220)
+        seeds = _normalize_seeds(seed, self.num_envs)
         if options is not None and "reset_mask" in options:
-            reset_mask = options.pop("reset_mask")
-            assert isinstance(reset_mask, np.ndarray), (
-                f"`options['reset_mask': mask]` must be a numpy array, got {type(reset_mask)}"
-            )
-            assert reset_mask.shape == (self.num_envs,), (
-                f"`options['reset_mask': mask]` must have shape `({self.num_envs},)`, got {reset_mask.shape}"
-            )
-            assert reset_mask.dtype == np.bool_, (
-                f"`options['reset_mask': mask]` must have `dtype=np.bool_`, got {reset_mask.dtype}"
-            )
-            assert np.any(reset_mask), (
-                f"`options['reset_mask': mask]` must contain a boolean array, got reset_mask={reset_mask}"
-            )
+            mask = options.pop("reset_mask")
+            _validate_reset_mask(mask, self.num_envs)
+            return self._reset_masked(seeds, options, mask)
+        return self._reset_all(seeds, options)
 
-            self._terminations[reset_mask] = False
-            self._truncations[reset_mask] = False
-            self._autoreset_envs[reset_mask] = False
+    def _reset_all(self, seeds, options):
+        self._terminations[:] = False
+        self._truncations[:] = False
+        self._needs_autoreset[:] = False
+        obs_list, infos = [], {}
+        for i, (env, env_seed) in enumerate(zip(self.envs, seeds)):
+            obs, info = env.reset(seed=env_seed, options=options)
+            obs_list.append(obs)
+            infos = self._add_info(infos, info, i)
+        self._observations = concatenate(
+            self.single_observation_space, obs_list, self._observations
+        )
+        return self._batched_obs(), infos
 
-            infos: dict[str, Any] = {}
-            env_obs = {}
-            for i, (env, env_seed, env_reset) in enumerate(zip(self.envs, seed, reset_mask)):
-                if env_reset:
-                    env_obs[i], env_info = env.reset(seed=env_seed, options=options)
-                    infos = self._add_info(infos, env_info, i)
-            # rebuild the batched observation with the refreshed entries
-            prev = list(iterate(self.observation_space, self._observations))
-            all_obs = [env_obs.get(i, prev[i]) for i in range(self.num_envs)]
-            self._observations = concatenate(self.single_observation_space, all_obs, self._observations)
-            return (deepcopy(self._observations) if self.copy else self._observations), infos
+    def _reset_masked(self, seeds, options, mask):
+        self._terminations[mask] = False
+        self._truncations[mask] = False
+        self._needs_autoreset[mask] = False
+        infos: dict[str, Any] = {}
+        # splice freshly-reset observations into the existing batch
+        obs_list = list(iterate(self.observation_space, self._observations))
+        for i in np.flatnonzero(mask):
+            obs_list[i], info = self.envs[i].reset(seed=seeds[i], options=options)
+            infos = self._add_info(infos, info, i)
+        self._observations = concatenate(
+            self.single_observation_space, obs_list, self._observations
+        )
+        return self._batched_obs(), infos
 
-        self._terminations = np.zeros((self.num_envs,), dtype=np.bool_)
-        self._truncations = np.zeros((self.num_envs,), dtype=np.bool_)
-        self._autoreset_envs = np.zeros((self.num_envs,), dtype=np.bool_)
-
-        observations, infos = [], {}
-        for i, (env, single_seed) in enumerate(zip(self.envs, seed)):
-            env_obs, env_info = env.reset(seed=single_seed, options=options)
-            observations.append(env_obs)
-            infos = self._add_info(infos, env_info, i)
-
-        self._observations = concatenate(self.single_observation_space, observations, self._observations)
-        return (deepcopy(self._observations) if self.copy else self._observations), infos
+    # -- step ---------------------------------------------------------------
 
     def step(self, actions):
-        """Step all sub-envs serially, applying the configured autoreset mode."""
-        actions = iterate(self.action_space, actions)
+        """Step all sub-envs serially under the configured autoreset policy."""
+        obs_list, infos = [], {}
+        # strict zip raises ValueError on an action-count mismatch
+        for i, (action, _) in enumerate(zip(iterate(self.action_space, actions), self.envs, strict=True)):
+            obs, info, final = self._step_one(i, action)
+            if final is not None:
+                infos = self._add_info(infos, final, i)
+            obs_list.append(obs)
+            infos = self._add_info(infos, info, i)
 
-        observations, infos = [], {}
-        # strict zip raises ValueError when the action count mismatches
-        # num_envs (reference sync_vector_env.py:251).
-        for i, (action, _) in enumerate(zip(actions, self.envs, strict=True)):
-            if self.autoreset_mode == AutoresetMode.NEXT_STEP:
-                if self._autoreset_envs[i]:
-                    env_obs, env_info = self.envs[i].reset()
-                    self._rewards[i] = 0.0
-                    self._terminations[i] = False
-                    self._truncations[i] = False
-                else:
-                    (
-                        env_obs,
-                        self._rewards[i],
-                        self._terminations[i],
-                        self._truncations[i],
-                        env_info,
-                    ) = self.envs[i].step(action)
-            elif self.autoreset_mode == AutoresetMode.SAME_STEP:
-                (
-                    env_obs,
-                    self._rewards[i],
-                    self._terminations[i],
-                    self._truncations[i],
-                    env_info,
-                ) = self.envs[i].step(action)
-                if self._terminations[i] or self._truncations[i]:
-                    infos = self._add_info(
-                        infos,
-                        {"final_obs": env_obs, "final_info": env_info},
-                        i,
-                    )
-                    env_obs, env_info = self.envs[i].reset()
-            elif self.autoreset_mode == AutoresetMode.DISABLED:
-                assert not self._autoreset_envs[i], (
-                    f"Environment {i} is done and AutoresetMode is DISABLED; call `reset` with a reset_mask."
-                )
-                (
-                    env_obs,
-                    self._rewards[i],
-                    self._terminations[i],
-                    self._truncations[i],
-                    env_info,
-                ) = self.envs[i].step(action)
-            else:
-                raise ValueError(f"Unexpected autoreset mode, {self.autoreset_mode}")
-
-            observations.append(env_obs)
-            infos = self._add_info(infos, env_info, i)
-
-        self._observations = concatenate(self.single_observation_space, observations, self._observations)
-        self._autoreset_envs = np.logical_or(self._terminations, self._truncations)
-
+        self._observations = concatenate(
+            self.single_observation_space, obs_list, self._observations
+        )
+        self._needs_autoreset = np.logical_or(self._terminations, self._truncations)
         return (
-            deepcopy(self._observations) if self.copy else self._observations,
+            self._batched_obs(),
             np.copy(self._rewards),
             np.copy(self._terminations),
             np.copy(self._truncations),
             infos,
         )
+
+    def _batched_obs(self):
+        return deepcopy(self._observations) if self.copy else self._observations
+
+    # -- broadcast ----------------------------------------------------------
 
     def render(self) -> tuple | None:
         """Render all sub-envs, returning a tuple of frames."""
@@ -248,11 +276,8 @@ class SyncVectorEnv(VectorEnv):
         """Call a method (or read an attribute) on every sub-env."""
         results = []
         for env in self.envs:
-            function = env.get_wrapper_attr(name)
-            if callable(function):
-                results.append(function(*args, **kwargs))
-            else:
-                results.append(function)
+            attr = env.get_wrapper_attr(name)
+            results.append(attr(*args, **kwargs) if callable(attr) else attr)
         return tuple(results)
 
     def get_attr(self, name: str) -> tuple[Any, ...]:
@@ -262,7 +287,7 @@ class SyncVectorEnv(VectorEnv):
     def set_attr(self, name: str, values: list[Any] | tuple[Any, ...] | Any):
         """Set attribute ``name`` on every sub-env."""
         if not isinstance(values, (list, tuple)):
-            values = [values for _ in range(self.num_envs)]
+            values = [values] * self.num_envs
         if len(values) != self.num_envs:
             raise ValueError(
                 "Values must be a list or tuple with length equal to the number of environments. "
