@@ -51,6 +51,8 @@ __all__ = [
     "NormalizeReward",
     "FrameStackObservation",
     "TimeAwareObservation",
+    "DelayObservation",
+    "StickyAction",
     "TransformObservation",
     "TransformAction",
     "TransformReward",
@@ -382,6 +384,111 @@ class TimeAwareObservation(FuncWrapper):
             np.concatenate([np.broadcast_to(space.high, space.shape), [time_high]]),
             dtype=space.dtype.name,
         )
+
+
+class DelayObservationState(NamedTuple):
+    buffer: Any  # (N, delay, *obs) most-recent-last
+    count: Any  # (N,) observations seen this episode
+
+
+class DelayObservation(FuncWrapper):
+    """Emit observations ``delay`` steps late, zeros until then.
+
+    Functional twin of host ``DelayObservation`` (reference
+    stateful_observation.py:34): each env sees the observation from ``delay``
+    steps earlier in ITS episode; the buffer resets with the episode.
+    """
+
+    def __init__(self, delay: int):
+        if delay < 1:
+            raise ValueError(f"delay must be >= 1, got {delay}")
+        self.delay = delay
+
+    def _emit(self, buffer, count):
+        # the slot holding the observation from `delay` steps ago; zeros
+        # until `delay + 1` observations of the episode have been seen
+        # (the host twin emits zeros through its first `delay` steps)
+        oldest = buffer[:, 0]
+        ready = (count > self.delay).reshape((-1,) + (1,) * (oldest.ndim - 1))
+        return jnp.where(ready, oldest, jnp.zeros_like(oldest))
+
+    def _fresh(self, obs):
+        # (N, delay+1, *obs): the episode's first observation goes last
+        return jnp.concatenate(
+            [jnp.zeros_like(obs)[:, None]] * self.delay + [obs[:, None]], axis=1
+        )
+
+    def init(self, rng, obs, carry, params=None):
+        buffer = self._fresh(obs)
+        count = jnp.ones(jnp.shape(obs)[0], jnp.int32)
+        return DelayObservationState(buffer, count), self._emit(buffer, count)
+
+    def update(self, wstate, ts, reset_mask, carry):
+        obs = ts.obs
+        pushed = jnp.concatenate([wstate.buffer[:, 1:], obs[:, None]], axis=1)
+        mask = reset_mask.reshape(reset_mask.shape + (1,) * (pushed.ndim - 1))
+        buffer = jnp.where(mask, self._fresh(obs), pushed)
+        count = jnp.where(reset_mask, 1, wstate.count + 1)
+        return DelayObservationState(buffer, count), ts._replace(
+            obs=self._emit(buffer, count)
+        )
+
+
+class StickyActionState(NamedTuple):
+    rng: Any
+    last_action: Any  # (N, ...) previously executed action
+    is_first: Any  # (N,) True right after an episode start
+
+
+class StickyAction(FuncWrapper):
+    """Repeat the previously-executed action with probability ``p``.
+
+    Functional twin of host ``StickyAction`` (reference stateful_action.py:16,
+    ``repeat_action_duration=1``): the submitted action is replaced by the
+    last executed one with probability ``p``, never on an episode's first
+    step. Carries its own PRNG key in the wrapper state.
+    """
+
+    def __init__(self, repeat_action_probability: float, action_space: Any = None):
+        if not 0 <= repeat_action_probability < 1:
+            raise ValueError(
+                f"repeat_action_probability should be in [0, 1), got {repeat_action_probability}"
+            )
+        self.p = repeat_action_probability
+        self._action_space = action_space
+
+    def action_space(self, space):
+        # capture the single-env action space during wrapper-stack assembly
+        # so `init` can allocate the last-action buffer (scan carries need a
+        # fixed pytree structure — a lazy None leaf would retrace)
+        self._action_space = space
+        return space
+
+    def init(self, rng, obs, carry, params=None):
+        assert self._action_space is not None, (
+            "StickyAction needs the action space: pass action_space= to the "
+            "constructor or assemble it through JaxVectorEnv/make_train_step"
+        )
+        n = jnp.shape(carry.prev_done)[0]
+        import numpy as np
+
+        dtype = np.dtype(self._action_space.dtype)
+        dtype = jnp.int32 if dtype == np.int64 else dtype  # device default width
+        proto = jnp.zeros((n,) + self._action_space.shape, dtype)
+        return StickyActionState(rng, proto, jnp.ones(n, bool)), obs
+
+    def transform_action(self, wstate, action):
+        rng, k = jax.random.split(wstate.rng)
+        repeat = (
+            jax.random.uniform(k, jnp.shape(action)[:1]) < self.p
+        ) & ~wstate.is_first
+        mask = repeat.reshape(repeat.shape + (1,) * (jnp.ndim(action) - 1))
+        chosen = jnp.where(mask, wstate.last_action, action)
+        return StickyActionState(rng, chosen, wstate.is_first), chosen
+
+    def update(self, wstate, ts, reset_mask, carry):
+        # the step AFTER a reset step is an episode's first real step
+        return wstate._replace(is_first=reset_mask), ts
 
 
 # ---------------------------------------------------------------------------

@@ -395,3 +395,81 @@ def test_wrapped_env_spaces():
     assert np.all(np.asarray(obs)[:, -1] == 0)
     o, *_ = env_ta.step(jnp.zeros(4, jnp.int32))
     assert np.all(np.asarray(o)[:, -1] == 1)
+
+
+def test_delay_observation_matches_host(trajectory):
+    from gymnasium_tpu.wrappers import DelayObservation as HostDelay
+
+    wrapper = fw.DelayObservation(2)
+    obs0_f, outs, _ = run_functional(wrapper, trajectory)
+
+    lane = 2
+    replay = _ReplayLaneEnv(trajectory, lane)
+    host = HostDelay(replay, delay=2)
+    episodes = _episode_slices(trajectory, lane)
+    for ep_idx, ep in enumerate(episodes):
+        if ep_idx == 0:
+            replay.reset_obs = trajectory["obs0"][lane]
+            expected0 = np.asarray(obs0_f)[lane]
+            steps = ep
+        else:
+            t0 = ep[0]
+            replay.reset_obs = trajectory["obs"][t0, lane]
+            expected0 = np.asarray(outs[t0].obs)[lane]
+            steps = ep[1:]
+        replay.schedule = steps
+        o_h, _ = host.reset()
+        np.testing.assert_allclose(expected0, o_h, rtol=1e-6)
+        for t in steps:
+            o_h, *_ = host.step(0)
+            np.testing.assert_allclose(
+                np.asarray(outs[t].obs)[lane], o_h, rtol=1e-6, err_msg=f"step {t}"
+            )
+
+
+def test_sticky_action_repeats_with_probability():
+    import gymnasium_tpu as gym
+
+    n = 512
+    space = gym.spaces.Box(-1.0, 1.0, (2,), np.float32)
+    wrapper = fw.StickyAction(0.5, action_space=space)
+    carry = EnvCarry(None, jax.random.PRNGKey(0), jnp.zeros(n, jnp.int32), jnp.zeros(n, bool))
+    wstate, _ = wrapper.init(jax.random.PRNGKey(1), jnp.zeros((n, 4)), carry)
+
+    # first step after init: never repeats (is_first)
+    a1 = jnp.ones((n, 2))
+    wstate, out1 = wrapper.transform_action(wstate, a1)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(a1))
+    ts = gym.functional.TimeStep(
+        jnp.zeros((n, 4)), jnp.zeros(n), jnp.zeros(n, bool), jnp.zeros(n, bool), {}
+    )
+    wstate, _ = wrapper.update(wstate, ts, jnp.zeros(n, bool), carry)
+
+    # second step: a distinct action should be replaced by the previous one
+    # on roughly p of the lanes
+    a2 = jnp.full((n, 2), 5.0)
+    wstate, out2 = wrapper.transform_action(wstate, a2)
+    repeated = np.asarray(out2[:, 0] == 1.0)
+    assert 0.35 < repeated.mean() < 0.65, repeated.mean()
+
+    # after a reset step, the next action always passes through
+    wstate, _ = wrapper.update(wstate, ts, jnp.ones(n, bool), carry)
+    a3 = jnp.full((n, 2), -3.0)
+    wstate, out3 = wrapper.transform_action(wstate, a3)
+    np.testing.assert_array_equal(np.asarray(out3), np.asarray(a3))
+
+
+def test_sticky_action_inside_jax_vector_env():
+    env = JaxVectorEnv(
+        CartPoleFunctional(),
+        num_envs=8,
+        max_episode_steps=50,
+        seed=0,
+        wrappers=[fw.StickyAction(0.25), fw.DelayObservation(1)],
+    )
+    env.reset(seed=0)
+    for _ in range(5):
+        o, *_ = env.step(jnp.zeros(8, jnp.int32))
+    assert o.shape == (8, 4)
+    carry, traj = env.rollout(20)
+    assert traj.obs.shape == (20, 8, 4)
