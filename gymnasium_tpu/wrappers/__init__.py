@@ -118,8 +118,8 @@ def __getattr__(name: str) -> Any:
         raise AttributeError(
             f"{name!r} has been renamed with `wrappers.{_renamed_wrapper[name]}`"
         )
-    if name == "vector":
+    if name in ("vector", "func"):
         import importlib
 
-        return importlib.import_module("gymnasium_tpu.wrappers.vector")
+        return importlib.import_module(f"gymnasium_tpu.wrappers.{name}")
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
