@@ -133,6 +133,29 @@ class MujocoFuncEnv(FuncEnv):
         (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=self.frame_skip)
         return {"qpos": q, "qvel": qd, "prev_x": prev_x}
 
+    def transition_batched(self, num_envs: int):
+        """Natively-batched transition: the fused Pallas substep kernel
+        (ops/pallas_articulated.py) steps the whole batch as ONE program per
+        1024-env block — ~2x the vmapped XLA engine and ~30x faster to
+        compile. TPU-only; other backends/batch sizes fall back to vmap."""
+        import jax
+
+        from gymnasium_tpu.ops.pallas_articulated import BLOCK_ENVS
+
+        if jax.default_backend() != "tpu" or num_envs % BLOCK_ENVS != 0:
+            return None
+        if getattr(self, "_fused_step", None) is None:
+            from gymnasium_tpu.ops.pallas_articulated import make_fused_step
+
+            self._fused_step = make_fused_step(self.model, frame_skip=self.frame_skip)
+
+        def step_batch(state, action, rng, params=None):
+            q, qd = state["qpos"], state["qvel"]
+            q_new, qd_new = self._fused_step(q, qd, action)
+            return {"qpos": q_new, "qvel": qd_new, "prev_x": q[:, 0]}
+
+        return step_batch
+
     def observation(self, state, rng, params: Any = None):
         import jax.numpy as jnp
 

@@ -178,6 +178,12 @@ def vectorize_func_env(func_env: FuncEnv, num_envs: int) -> FuncEnv:
     # (single fused RNG draw for the whole batch) — much cheaper than N
     # vmapped splits when resets are folded into every compiled step.
     initial_batched = getattr(func_env, "initial_batched", None)
+    # ... and a natively-batched transition FACTORY `transition_batched(n)
+    # -> fn(state, action, rng, params) | None` (e.g. a fused Pallas kernel
+    # stepping the whole batch as one program). Returning None means "no
+    # batched path for this n/backend" and falls back to the vmapped
+    # per-env transition.
+    transition_batched = getattr(func_env, "transition_batched", None)
 
     v_initial = jax.vmap(func_env.initial, in_axes=(rng_axis("initial"), None))
     v_transition = jax.vmap(func_env.transition, in_axes=(0, 0, rng_axis("transition"), None))
@@ -198,9 +204,14 @@ def vectorize_func_env(func_env: FuncEnv, num_envs: int) -> FuncEnv:
             )
 
         batched.initial = broadcast_initial
-    batched.transition = lambda state, action, rng, params=None: v_transition(
-        state, action, keys("transition", rng), params
-    )
+    def transition(state, action, rng, params=None):
+        if transition_batched is not None:
+            batched_fn = transition_batched(num_envs)
+            if batched_fn is not None:
+                return batched_fn(state, action, rng, params)
+        return v_transition(state, action, keys("transition", rng), params)
+
+    batched.transition = transition
     batched.observation = lambda state, rng, params=None: v_observation(
         state, keys("observation", rng), params
     )

@@ -20,7 +20,12 @@ __all__ = ["HumanRendering", "RecordVideo"]
 class HumanRendering(VectorWrapper):
     """Tile sub-env frames into one window for human display."""
 
-    ACCEPTED_RENDER_MODES = ["rgb_array", "rgb_array_list"]
+    ACCEPTED_RENDER_MODES = [
+        "rgb_array",
+        "rgb_array_list",
+        "depth_array",
+        "depth_array_list",
+    ]
 
     def __init__(self, env: VectorEnv, screen_size: tuple[int, int] | None = None):
         super().__init__(env)
@@ -206,30 +211,53 @@ class RecordVideo(VectorWrapper):
             grid[r * h : (r + 1) * h, col * w : (col + 1) * w] = f
         self.recorded_frames.append(grid)
 
-    def reset(self, *, seed: int | None = None, options: dict[str, Any] | None = None):
-        result = super().reset(seed=seed, options=options)
+    def _on_episode_boundary(self):
+        """Episode accounting follows the FIRST sub-env (reference
+        wrappers/vector/rendering.py:418-438)."""
         self.episode_id += 1
         if self.recording and self.video_length == float("inf"):
             self.stop_recording()
         if self.episode_trigger and self.episode_trigger(self.episode_id):
             self.start_recording(f"{self.name_prefix}-episode-{self.episode_id}")
+
+    def reset(self, *, seed: int | None = None, options: dict[str, Any] | None = None):
+        if options is None or "reset_mask" not in options or options["reset_mask"][0]:
+            self._on_episode_boundary()
+        result = super().reset(seed=seed, options=options)
         if self.recording:
             self._capture_frame()
+            if len(self.recorded_frames) > self.video_length:
+                self.stop_recording()
+        self._has_autoreset = False
         return result
 
     def step(self, actions):
-        result = super().step(actions)
+        from gymnasium_tpu.vector.vector_env import AutoresetMode
+
+        obs, rewards, terms, truncs, info = self.env.step(actions)
         self.step_id += 1
-        if not self.recording and self.step_trigger and self.step_trigger(self.step_id):
+
+        mode = self.env.metadata.get("autoreset_mode")
+        if mode == AutoresetMode.NEXT_STEP:
+            if getattr(self, "_has_autoreset", False):
+                self._on_episode_boundary()
+            self._has_autoreset = bool(terms[0] or truncs[0])
+        elif mode == AutoresetMode.SAME_STEP and (terms[0] or truncs[0]):
+            self._on_episode_boundary()
+
+        if self.step_trigger and self.step_trigger(self.step_id):
             self.start_recording(f"{self.name_prefix}-step-{self.step_id}")
         if self.recording:
             self._capture_frame()
             if len(self.recorded_frames) > self.video_length:
                 self.stop_recording()
-        return result
+        return obs, rewards, terms, truncs, info
 
     def start_recording(self, video_name: str):
-        """Begin recording frames under ``video_name``."""
+        """Begin recording frames under ``video_name`` (an in-flight
+        recording is flushed first)."""
+        if self.recording:
+            self.stop_recording()
         self.recording = True
         self._video_name = video_name
 

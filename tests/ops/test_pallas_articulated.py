@@ -1,0 +1,150 @@
+"""Fused Pallas articulated substep vs the XLA engine.
+
+On CPU the ROW PROGRAM (the exact computation the kernel runs) executes as a
+plain jitted function — the Pallas interpreter is far too slow for
+full-robot programs. Set GYMTPU_TPU_TESTS=1 to run the compiled kernel on
+real hardware instead.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gymnasium_tpu.envs.mujoco.mujoco_env import load_model
+from gymnasium_tpu.ops.pallas_articulated import BLOCK_ENVS, make_fused_step
+from gymnasium_tpu.physics.articulated import init_qpos, make_dynamics
+
+ON_TPU = os.environ.get("GYMTPU_TPU_TESTS") == "1"
+
+
+def _run_fused(model, frame_skip, q, qd, ctrl):
+    fused = make_fused_step(model, frame_skip=frame_skip)
+    if ON_TPU:
+        return fused(q, qd, ctrl)
+    # CPU: run the identical row program without pallas_call
+    n, nq, nv, nu = q.shape[0], model.nq, model.nv, model.nu
+    nblk = n // BLOCK_ENVS
+
+    def to_blocks(x, rows):
+        return (
+            x.reshape(nblk, 8, 128, rows).transpose(0, 3, 1, 2).reshape(nblk, rows * 8, 128)
+        )
+
+    def from_blocks(x, rows):
+        return x.reshape(nblk, rows, 8, 128).transpose(0, 2, 3, 1).reshape(n, rows)
+
+    qb = to_blocks(jnp.asarray(q, jnp.float32), nq)
+    qdb = to_blocks(jnp.asarray(qd, jnp.float32), nv)
+    cb = to_blocks(jnp.asarray(ctrl, jnp.float32), nu)
+    outs_q, outs_qd = [], []
+    step = jax.jit(fused.rows_step)
+    for b in range(nblk):
+        qo, qdo = step(qb[b], qdb[b], cb[b])
+        outs_q.append(qo)
+        outs_qd.append(qdo)
+    return (
+        from_blocks(jnp.stack(outs_q), nq),
+        from_blocks(jnp.stack(outs_qd), nv),
+    )
+
+# CPU default exercises the small trees (XLA-CPU compile of the unrolled
+# row program is minutes for the big robots); the full set runs compiled on
+# real hardware under GYMTPU_TPU_TESTS=1 / `-m slow`.
+ROBOTS = [
+    "reacher",
+    pytest.param("hopper", marks=pytest.mark.slow),
+    pytest.param("ant", marks=pytest.mark.slow),
+    pytest.param("half_cheetah", marks=pytest.mark.slow),
+    pytest.param("humanoid", marks=pytest.mark.slow),
+]
+
+
+def _states(model, n, seed=0):
+    rng = np.random.default_rng(seed)
+    q = np.tile(init_qpos(model)[None, :], (n, 1)).astype(np.float32)
+    q += rng.uniform(-0.2, 0.2, q.shape).astype(np.float32)
+    if model.root_free:
+        q[:, 3:7] /= np.linalg.norm(q[:, 3:7], axis=1, keepdims=True)
+    qd = rng.uniform(-0.5, 0.5, (n, model.nv)).astype(np.float32)
+    ctrl = rng.uniform(-0.4, 0.4, (n, max(model.nu, 1))).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(qd), jnp.asarray(ctrl[:, : model.nu])
+
+
+@pytest.mark.parametrize("robot", ROBOTS)
+def test_fused_step_matches_xla_engine(robot):
+    model, _ = load_model(robot)
+    dyn = make_dynamics(model)
+
+    n = BLOCK_ENVS
+    q, qd, ctrl = _states(model, n, seed=1)
+    # compare a small probe subset through the (vmapped) XLA engine
+    probe = np.asarray([0, 7, 130, 1023])
+
+    def xla_step(q1, qd1, c1):
+        for _ in range(2):
+            q1, qd1 = dyn["step"](q1, qd1, c1)
+        return q1, qd1
+
+    q_ref, qd_ref = jax.jit(jax.vmap(xla_step))(q[probe], qd[probe], ctrl[probe])
+    q_out, qd_out = _run_fused(model, 2, q, qd, ctrl)
+
+    # stiff contact forces amplify f32 summation-order differences; the
+    # deviation after 2 substeps stays at round-off scale (measured ant on
+    # TPU: q 2e-4, qd 8e-3 over 5 substeps)
+    np.testing.assert_allclose(
+        np.asarray(q_out)[probe], np.asarray(q_ref), rtol=2e-4, atol=5e-4,
+        err_msg=f"{robot}: qpos diverges",
+    )
+    # humanoid's heaviest contacts (k ~ m/dt² with m=42 kg) amplify the
+    # ordering differences furthest: single elements reach ~4e-2
+    np.testing.assert_allclose(
+        np.asarray(qd_out)[probe], np.asarray(qd_ref), rtol=2e-3, atol=5e-2,
+        err_msg=f"{robot}: qvel diverges",
+    )
+
+
+def test_fused_step_multi_block():
+    """grid over env blocks: 2048 envs = 2 programs, identical per-block."""
+    model, _ = load_model("hopper")
+    q, qd, ctrl = _states(model, BLOCK_ENVS, seed=3)
+    q2 = jnp.concatenate([q, q]); qd2 = jnp.concatenate([qd, qd])
+    c2 = jnp.concatenate([ctrl, ctrl])
+    qo, qdo = _run_fused(model, 1, q2, qd2, c2)
+    np.testing.assert_allclose(
+        np.asarray(qo)[:BLOCK_ENVS], np.asarray(qo)[BLOCK_ENVS:], atol=0
+    )
+    assert np.isfinite(np.asarray(qo)).all()
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs real TPU (GYMTPU_TPU_TESTS=1)")
+def test_fused_path_drives_env_rollout():
+    """End-to-end on TPU: JaxVectorEnv picks up transition_batched (the
+    fused kernel) automatically and produces sane autoresetting episodes."""
+    from gymnasium_tpu.envs.mujoco.ant import AntFunctional
+    from gymnasium_tpu.vector.jax_vector_env import JaxVectorEnv
+
+    def stats(disable_fused):
+        func_env = AntFunctional()
+        if disable_fused:
+            func_env.transition_batched = lambda n: None
+        env = JaxVectorEnv(
+            func_env, num_envs=BLOCK_ENVS, max_episode_steps=200, seed=0
+        )
+        env.reset()
+        carry, traj = env.rollout(200, unroll=1)
+        assert np.isfinite(np.asarray(traj.reward)).all()
+        z = np.asarray(carry.state["qpos"][:, 2])
+        assert np.isfinite(z).all()
+        return int(np.asarray(traj.terminated).sum()), float(z.mean())
+
+    terms_fused, z_fused = stats(disable_fused=False)
+    terms_xla, z_xla = stats(disable_fused=True)
+    # identical seeds, different RNG-free dynamics backends: the episode
+    # statistics must agree closely (measured: 818 vs 813 terminations)
+    assert abs(terms_fused - terms_xla) < 0.15 * max(terms_xla, 1), (
+        f"termination counts diverge: fused {terms_fused} vs xla {terms_xla}"
+    )
+    assert abs(z_fused - z_xla) < 0.05, (z_fused, z_xla)

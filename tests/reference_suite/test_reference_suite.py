@@ -139,5 +139,6 @@ def test_reference_rendering_wrappers_suite():
             "tests/wrappers/test_human_rendering.py",
             "tests/wrappers/vector/test_record_video.py",
             "tests/wrappers/vector/test_human_rendering.py",
-        ]
+        ],
+        timeout=1800,
     )

@@ -27,6 +27,7 @@ CASES = [
     ("gymnasium_tpu.envs.box2d.lunar_lander", "LunarLanderFunctional", 4096, 200, 3),
     ("gymnasium_tpu.envs.mujoco.half_cheetah", "HalfCheetahFunctional", 4096, 100, 3),
     ("gymnasium_tpu.envs.mujoco.ant", "AntFunctional", 1024, 100, 3),
+    ("gymnasium_tpu.envs.mujoco.ant", "AntFunctional", 4096, 100, 3),
     ("gymnasium_tpu.envs.mujoco.humanoid", "HumanoidFunctional", 1024, 50, 3),
     ("gymnasium_tpu.envs.box2d.car_racing_functional", "CarRacingFunctional", 64, 100, 3),
 ]
