@@ -29,6 +29,7 @@ CASES = [
     ("gymnasium_tpu.envs.mujoco.ant", "AntFunctional", 1024, 100, 3),
     ("gymnasium_tpu.envs.mujoco.ant", "AntFunctional", 4096, 100, 3),
     ("gymnasium_tpu.envs.mujoco.humanoid", "HumanoidFunctional", 1024, 50, 3),
+    ("gymnasium_tpu.envs.mujoco.humanoid", "HumanoidFunctional", 4096, 50, 3),
     ("gymnasium_tpu.envs.box2d.car_racing_functional", "CarRacingFunctional", 64, 100, 3),
 ]
 
@@ -51,12 +52,14 @@ def main() -> None:
             carry, traj = env.rollout(steps)
             jax.block_until_ready((carry, traj))
             rates = []
-            for _ in range(trials):
+            for _ in range(trials + 1):
                 t0 = time.perf_counter()
                 carry, traj = env.rollout(steps, carry=carry)
                 jax.block_until_ready((carry, traj))
                 rates.append(n * steps / (time.perf_counter() - t0))
-            rate = statistics.median(rates)
+            # the tunnel can serve the FIRST post-warmup dispatch absurdly
+            # fast (up to ~250x); discard it and take the median of the rest
+            rate = statistics.median(rates[1:])
             unit = "B" if rate >= 1e9 else ("M" if rate >= 1e6 else "K")
             val = rate / {"B": 1e9, "M": 1e6, "K": 1e3}[unit]
             print(f"| {cls_name.replace('Functional', '')} | {n} | {val:.2f} {unit} |")
