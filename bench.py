@@ -17,15 +17,29 @@ import json
 import time
 
 NUM_ENVS = 4096
-STEPS_PER_BLOCK = 1024
+STEPS_PER_BLOCK = 4096
 WARMUP_BLOCKS = 2
-MEASURE_BLOCKS = 8
+# Two block counts: the tunnel's constant sync overhead (~35 ms per forced
+# host-read) cancels in the difference quotient between them.
+MEASURE_BLOCKS_SMALL = 4
+MEASURE_BLOCKS_LARGE = 36
 TRIALS = 5
 BASELINE_STEPS_PER_S = 50e6
 
 
+def _make_reducer(jax, jnp):
+    @jax.jit
+    def _reduce(outs):
+        leaves = jax.tree_util.tree_leaves(outs)
+        return sum(jnp.sum(leaf[..., -1].astype(jnp.float32)) for leaf in leaves)
+
+    return _reduce
+
+
 def _run_pallas(jax, jnp, obs_dtype=None):
     from gymnasium_tpu.ops import cartpole_rollout_fused
+
+    _reduce_outputs = _make_reducer(jax, jnp)
 
     obs_dtype = obs_dtype or jnp.float32
     state = jnp.zeros((4, NUM_ENVS), jnp.float32)
@@ -39,13 +53,17 @@ def _run_pallas(jax, jnp, obs_dtype=None):
         )
         return (out[0], out[1], out[2]), out
 
-    def run():
+    def run(n_blocks):
         outs = []
         carry = (state, steps, done)
-        for b in range(MEASURE_BLOCKS):
+        for b in range(n_blocks):
             carry, out = block(b, carry)
             outs.append(out)
-        jax.block_until_ready(outs)
+        # through the axon tunnel block_until_ready can return before the
+        # device is done; ONE host-read of a jitted reduction over the LAST
+        # block's outputs forces true completion (blocks are sequentially
+        # dependent through the carry, so the last implies all)
+        return float(_reduce_outputs(outs[-1]))
 
     return run
 
@@ -59,9 +77,13 @@ def _run_scan(jax):
     )
     env.reset()
 
-    def run():
-        outs = [env.rollout(STEPS_PER_BLOCK) for _ in range(MEASURE_BLOCKS)]
-        jax.block_until_ready(outs)
+    import jax.numpy as jnp
+
+    _reduce_outputs = _make_reducer(jax, jnp)
+
+    def run(n_blocks):
+        outs = [env.rollout(STEPS_PER_BLOCK) for _ in range(n_blocks)]
+        return float(_reduce_outputs([outs[-1][1].reward]))
 
     return run
 
@@ -72,14 +94,23 @@ def main() -> None:
 
     def measure(run):
         for _ in range(WARMUP_BLOCKS):
-            run()
-        rates = []
-        for _ in range(TRIALS):
-            start = time.perf_counter()
-            run()
-            elapsed = time.perf_counter() - start
-            rates.append(NUM_ENVS * STEPS_PER_BLOCK * MEASURE_BLOCKS / elapsed)
-        return sorted(rates)[len(rates) // 2]
+            run(1)
+
+        def timed(n_blocks):
+            times = []
+            for _ in range(TRIALS):
+                start = time.perf_counter()
+                run(n_blocks)
+                times.append(time.perf_counter() - start)
+            times = sorted(times[1:])  # first trial can be served early
+            return times[len(times) // 2]
+
+        t_small = timed(MEASURE_BLOCKS_SMALL)
+        t_large = timed(MEASURE_BLOCKS_LARGE)
+        extra_steps = (
+            NUM_ENVS * STEPS_PER_BLOCK * (MEASURE_BLOCKS_LARGE - MEASURE_BLOCKS_SMALL)
+        )
+        return extra_steps / max(t_large - t_small, 1e-9)
 
     def emit(path, steps_per_s):
         print(

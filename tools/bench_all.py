@@ -47,19 +47,36 @@ def main() -> None:
     for module, cls_name, n, steps, trials in CASES:
         try:
             cls = getattr(importlib.import_module(module), cls_name)
-            env = JaxVectorEnv(cls(), num_envs=n, max_episode_steps=steps, seed=0)
+            env = JaxVectorEnv(cls(), num_envs=n, max_episode_steps=1000, seed=0)
             env.reset()
-            carry, traj = env.rollout(steps)
-            jax.block_until_ready((carry, traj))
-            rates = []
-            for _ in range(trials + 1):
-                t0 = time.perf_counter()
-                carry, traj = env.rollout(steps, carry=carry)
-                jax.block_until_ready((carry, traj))
-                rates.append(n * steps / (time.perf_counter() - t0))
-            # the tunnel can serve the FIRST post-warmup dispatch absurdly
-            # fast (up to ~250x); discard it and take the median of the rest
-            rate = statistics.median(rates[1:])
+
+            import jax.numpy as jnp
+
+            @jax.jit
+            def reduce_traj(reward):
+                return jnp.sum(reward[-1])
+
+            def timed(repeats):
+                """repeats carry-chained rollouts ended by ONE host-read.
+
+                block_until_ready through the axon tunnel can return before
+                the device is done; the host-read forces true completion,
+                and timing two repeat counts cancels its ~35 ms constant.
+                """
+                times = []
+                for _ in range(trials + 1):
+                    t0 = time.perf_counter()
+                    c = env.carry
+                    for _ in range(repeats):
+                        c, traj = env.rollout(steps, carry=c, unroll=1)
+                    float(reduce_traj(traj.reward))
+                    times.append(time.perf_counter() - t0)
+                return statistics.median(sorted(times[1:]))
+
+            carry, traj = env.rollout(steps, unroll=1)
+            float(reduce_traj(traj.reward))  # warmup + compile
+            t1, t4 = timed(1), timed(4)
+            rate = 3 * n * steps / max(t4 - t1, 1e-9)
             unit = "B" if rate >= 1e9 else ("M" if rate >= 1e6 else "K")
             val = rate / {"B": 1e9, "M": 1e6, "K": 1e3}[unit]
             print(f"| {cls_name.replace('Functional', '')} | {n} | {val:.2f} {unit} |")
