@@ -142,7 +142,14 @@ class MujocoFuncEnv(FuncEnv):
 
         from gymnasium_tpu.ops.pallas_articulated import BLOCK_ENVS
 
-        if jax.default_backend() != "tpu" or num_envs % BLOCK_ENVS != 0:
+        # Pallas calls do not yet partition under multi-device sharding;
+        # engage the kernel only on a single TPU chip (multi-chip meshes
+        # fall back to the vmapped XLA engine, which shards fine)
+        if (
+            jax.default_backend() != "tpu"
+            or num_envs % BLOCK_ENVS != 0
+            or jax.device_count() > 1
+        ):
             return None
         if getattr(self, "_fused_step", None) is None:
             from gymnasium_tpu.ops.pallas_articulated import make_fused_step
