@@ -50,21 +50,24 @@ def _run_fused(model, frame_skip, q, qd, ctrl):
         from_blocks(jnp.stack(outs_qd), nv),
     )
 
-# CPU default exercises the small trees (XLA-CPU compile of the unrolled
-# row program is minutes for the big robots); the full set runs compiled on
-# real hardware under GYMTPU_TPU_TESTS=1 / `-m slow`.
+# CPU default exercises the small trees; the big robots run ONLY compiled
+# on real hardware (GYMTPU_TPU_TESTS=1) — their XLA-CPU row-program
+# compiles take many minutes each, too slow even for the `slow` suite.
+_tpu_only = pytest.mark.skipif(
+    not ON_TPU, reason="big-robot row program: TPU-compiled only"
+)
 ROBOTS = [
     "reacher",
     pytest.param("hopper", marks=pytest.mark.slow),
-    pytest.param("ant", marks=pytest.mark.slow),
-    pytest.param("half_cheetah", marks=pytest.mark.slow),
-    pytest.param("humanoid", marks=pytest.mark.slow),
-    pytest.param("walker2d", marks=pytest.mark.slow),
-    pytest.param("swimmer", marks=pytest.mark.slow),
-    pytest.param("pusher", marks=pytest.mark.slow),
     pytest.param("inverted_pendulum", marks=pytest.mark.slow),
-    pytest.param("inverted_double_pendulum", marks=pytest.mark.slow),
-    pytest.param("humanoidstandup", marks=pytest.mark.slow),
+    pytest.param("ant", marks=_tpu_only),
+    pytest.param("half_cheetah", marks=_tpu_only),
+    pytest.param("humanoid", marks=_tpu_only),
+    pytest.param("walker2d", marks=_tpu_only),
+    pytest.param("swimmer", marks=_tpu_only),
+    pytest.param("pusher", marks=_tpu_only),
+    pytest.param("inverted_double_pendulum", marks=_tpu_only),
+    pytest.param("humanoidstandup", marks=_tpu_only),
 ]
 
 
