@@ -178,12 +178,13 @@ def vectorize_func_env(func_env: FuncEnv, num_envs: int) -> FuncEnv:
     # (single fused RNG draw for the whole batch) — much cheaper than N
     # vmapped splits when resets are folded into every compiled step.
     initial_batched = getattr(func_env, "initial_batched", None)
-    # ... and a natively-batched transition FACTORY `transition_batched(n)
-    # -> fn(state, action, rng, params) | None` (e.g. a fused Pallas kernel
-    # stepping the whole batch as one program). Returning None means "no
-    # batched path for this n/backend" and falls back to the vmapped
-    # per-env transition.
+    # ... and natively-batched FACTORIES `transition_batched(n) ->
+    # fn(state, action, rng, params) | None` and `observation_batched(n) ->
+    # fn(state, rng, params) | None` (e.g. fused Pallas kernels processing
+    # the whole batch as one program). Returning None means "no batched path
+    # for this n/backend" and falls back to the vmapped per-env hook.
     transition_batched = getattr(func_env, "transition_batched", None)
+    observation_batched = getattr(func_env, "observation_batched", None)
 
     v_initial = jax.vmap(func_env.initial, in_axes=(rng_axis("initial"), None))
     v_transition = jax.vmap(func_env.transition, in_axes=(0, 0, rng_axis("transition"), None))
@@ -212,9 +213,15 @@ def vectorize_func_env(func_env: FuncEnv, num_envs: int) -> FuncEnv:
         return v_transition(state, action, keys("transition", rng), params)
 
     batched.transition = transition
-    batched.observation = lambda state, rng, params=None: v_observation(
-        state, keys("observation", rng), params
-    )
+
+    def observation(state, rng, params=None):
+        if observation_batched is not None:
+            batched_fn = observation_batched(num_envs)
+            if batched_fn is not None:
+                return batched_fn(state, rng, params)
+        return v_observation(state, keys("observation", rng), params)
+
+    batched.observation = observation
     batched.reward = lambda state, action, next_state, rng, params=None: v_reward(
         state, action, next_state, keys("reward", rng), params
     )
