@@ -17,13 +17,13 @@ import json
 import time
 
 NUM_ENVS = 4096
-STEPS_PER_BLOCK = 4096
+STEPS_PER_BLOCK = 2048
 WARMUP_BLOCKS = 2
 # Two block counts: the tunnel's constant sync overhead (~35 ms per forced
 # host-read) cancels in the difference quotient between them.
 MEASURE_BLOCKS_SMALL = 4
-MEASURE_BLOCKS_LARGE = 36
-TRIALS = 5
+MEASURE_BLOCKS_LARGE = 24
+TRIALS = 4
 BASELINE_STEPS_PER_S = 50e6
 
 

@@ -127,3 +127,52 @@ def test_vmapped_batch():
         states = step(states, acts)
     obs = jax.jit(jax.vmap(lambda s: fe.observation(s, None)))(states)
     assert obs.shape == (4, 96, 96, 3)
+
+
+def test_blocked_rasterizer_matches_all_tiles_sweep():
+    """The two-level tile culling (K nearest-to-car, then K2 nearest per
+    8x16-px block) must reproduce the brute-force road mask exactly: any
+    culled tile is provably out of reach of every pixel it was culled for."""
+    from gymnasium_tpu.envs.box2d.car_racing import STATE_H, STATE_W
+
+    fe = CarRacingFunctional()
+    obs_fn = jax.jit(lambda s: fe.observation(s, None))
+    road_color = np.array([102, 102, 102])
+    for seed in range(4):
+        state = fe.initial(jax.random.PRNGKey(seed))
+        centers = np.asarray(state["centers"])
+        betas = np.asarray(state["betas"])
+        # park the car at several along-track positions, incl. near hairpins
+        for tile in [0, 50, NUM_TILES // 3, NUM_TILES // 2, NUM_TILES - 20]:
+            hull = np.zeros(6, np.float32)
+            hull[:2] = centers[tile]
+            hull[2] = betas[tile]
+            state = dict(state, hull=jnp.asarray(hull))
+            obs = np.asarray(obs_fn(state))
+            got_road = (obs == road_color).all(-1)
+
+            # brute-force oracle: min distance over ALL tiles, no culling
+            ppm = STATE_W / 30.0
+            px = np.arange(STATE_W, dtype=np.float32)
+            py = np.arange(STATE_H, dtype=np.float32)
+            vx = (px[None, :] - STATE_W / 2) / ppm
+            vy = (STATE_H * 0.75 - py[:, None]) / ppm
+            ca, sa = np.cos(hull[2]), np.sin(hull[2])
+            wx = hull[0] + vx * ca - vy * sa
+            wy = hull[1] + vx * sa + vy * ca
+            d2 = (wx[..., None] - centers[None, None, :, 0]) ** 2 + (
+                wy[..., None] - centers[None, None, :, 1]
+            ) ** 2
+            want_road = d2.min(-1) <= TRACK_WIDTH**2
+            # exclude pixels the car/status-bar overlays paint over
+            overlay = ((np.abs(vx) <= 1.5) & (np.abs(vy) <= 2.5)) | (
+                py[:, None] >= STATE_H - 4
+            )
+            # f32-vs-f64 distance round-off flips only sub-ulp boundary
+            # pixels; everything else must agree bit-for-bit
+            boundary = np.abs(d2.min(-1) - TRACK_WIDTH**2) < 1e-3
+            mism = got_road != want_road
+            assert not (mism & ~overlay & ~boundary).any(), (
+                f"seed {seed} tile {tile}: culled rasterizer diverges on "
+                f"{int((mism & ~overlay).sum())} px"
+            )

@@ -55,7 +55,7 @@ DESELECT = {
 }
 
 
-def _run_reference(paths: list[str], timeout: int = 540) -> None:
+def _run_reference(paths: list[str], timeout: int = 1200) -> None:
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
         [os.path.join(REPO, "tools"), REPO] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
@@ -140,5 +140,5 @@ def test_reference_rendering_wrappers_suite():
             "tests/wrappers/vector/test_record_video.py",
             "tests/wrappers/vector/test_human_rendering.py",
         ],
-        timeout=1800,
+        timeout=3000,
     )
