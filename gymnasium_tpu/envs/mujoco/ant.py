@@ -72,6 +72,7 @@ class AntEnv(MujocoEnv, EzPickle):
             observation_space=spaces.Box(-np.inf, np.inf, (obs_dim,), np.float64),
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,
+            **kwargs,
         )
 
     def _sample_initial_state(self):

@@ -115,6 +115,7 @@ class HumanoidEnv(MujocoEnv, EzPickle):
             observation_space=spaces.Box(-np.inf, np.inf, (obs_dim,), np.float64),
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,
+            **kwargs,
         )
         self._cinert = _com_inertia_block(self.model)
         self._last_ctrl = np.zeros(self.model.nu)

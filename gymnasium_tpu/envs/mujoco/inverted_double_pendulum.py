@@ -44,6 +44,7 @@ class InvertedDoublePendulumEnv(MujocoEnv, EzPickle):
             observation_space=spaces.Box(-np.inf, np.inf, (9,), np.float64),
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,
+            **kwargs,
         )
         # obs = [x, sin q1, sin q2, cos q1, cos q2, v0, v1, v2, constraint]
         # (the 9th slot is the reference's qfrc_constraint — zero here)

@@ -33,6 +33,7 @@ class InvertedPendulumEnv(MujocoEnv, EzPickle):
             observation_space=spaces.Box(-np.inf, np.inf, (4,), np.float64),
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,
+            **kwargs,
         )
 
     def _get_obs(self) -> np.ndarray:

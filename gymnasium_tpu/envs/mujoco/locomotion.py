@@ -133,32 +133,76 @@ class MujocoFuncEnv(FuncEnv):
         (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=self.frame_skip)
         return {"qpos": q, "qvel": qd, "prev_x": prev_x}
 
-    def transition_batched(self, num_envs: int):
+    #: fused-kernel engagement: "auto" (TPU backend), "off" (always vmap),
+    #: "interpret" (Pallas interpreter — any backend; CPU mesh tests)
+    fused_kernel_mode: str = "auto"
+
+    def transition_batched(self, num_envs: int, sharding: Any = None):
         """Natively-batched transition: the fused Pallas substep kernel
-        (ops/pallas_articulated.py) steps the whole batch as ONE program per
-        1024-env block — ~2x the vmapped XLA engine and ~30x faster to
-        compile. TPU-only; other backends/batch sizes fall back to vmap."""
+        (ops/pallas_articulated.py) steps each device's shard as ONE program
+        per 1024-env block — ~2x the vmapped XLA engine and ~30x faster to
+        compile. Gating depends only on the backend and the per-shard block
+        size; on a multi-device ``sharding`` the per-block ``pallas_call``
+        is wrapped in ``shard_map`` over the env axis (a substep has no
+        cross-env data, so each device steps its own blocks — SURVEY §5.8's
+        single-program-multi-device model). Other backends / non-multiple
+        batch sizes fall back to the vmapped XLA engine."""
         import jax
 
         from gymnasium_tpu.ops.pallas_articulated import BLOCK_ENVS
 
-        # Pallas calls do not yet partition under multi-device sharding;
-        # engage the kernel only on a single TPU chip (multi-chip meshes
-        # fall back to the vmapped XLA engine, which shards fine)
-        if (
-            jax.default_backend() != "tpu"
-            or num_envs % BLOCK_ENVS != 0
-            or jax.device_count() > 1
-        ):
+        mode = self.fused_kernel_mode
+        if mode == "off":
             return None
-        if getattr(self, "_fused_step", None) is None:
+        interpret = mode == "interpret"
+        if not interpret and jax.default_backend() != "tpu":
+            return None
+
+        # number of shards along the env-batch axis (leading dim)
+        env_axes: tuple = ()
+        n_shards = 1
+        if sharding is not None and getattr(sharding, "spec", None):
+            first = sharding.spec[0]
+            if first is not None:
+                env_axes = first if isinstance(first, tuple) else (first,)
+                n_shards = int(np.prod([sharding.mesh.shape[a] for a in env_axes]))
+        if num_envs % (BLOCK_ENVS * n_shards) != 0:
+            return None
+
+        cache_key = (interpret,)
+        if getattr(self, "_fused_cache", None) is None or self._fused_cache[0] != cache_key:
             from gymnasium_tpu.ops.pallas_articulated import make_fused_step
 
-            self._fused_step = make_fused_step(self.model, frame_skip=self.frame_skip)
+            self._fused_cache = (
+                cache_key,
+                make_fused_step(self.model, frame_skip=self.frame_skip, interpret=interpret),
+            )
+        fused = self._fused_cache[1]
+
+        if n_shards > 1:
+            try:
+                from jax import shard_map
+            except ImportError:  # older JAX
+                from jax.experimental.shard_map import shard_map
+
+            P = jax.sharding.PartitionSpec
+            spec = P(env_axes if len(env_axes) > 1 else env_axes[0])
+            kwargs = dict(
+                mesh=sharding.mesh, in_specs=(spec, spec, spec), out_specs=(spec, spec)
+            )
+            # pallas_call does not participate in output-varying-mesh-axes
+            # (vma/rep) inference — disable the check (kwarg name varies by
+            # JAX version)
+            for check_kw in ({"check_vma": False}, {"check_rep": False}, {}):
+                try:
+                    fused = shard_map(fused, **kwargs, **check_kw)
+                    break
+                except TypeError:
+                    continue
 
         def step_batch(state, action, rng, params=None):
             q, qd = state["qpos"], state["qvel"]
-            q_new, qd_new = self._fused_step(q, qd, action)
+            q_new, qd_new = fused(q, qd, action)
             return {"qpos": q_new, "qvel": qd_new, "prev_x": q[:, 0]}
 
         return step_batch

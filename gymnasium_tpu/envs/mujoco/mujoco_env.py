@@ -106,6 +106,10 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
 
     model_name: str = ""
     frame_skip: int = 5
+    # class-level declaration so `make(render_mode=...)` validates before
+    # instantiation (reference ant_v5.py:219-226); __init__ rebuilds it with
+    # the model-specific render_fps
+    metadata = {"render_modes": ["human", "rgb_array", "depth_array", "rgbd_tuple"]}
 
     def __init__(
         self,
@@ -114,6 +118,13 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
         observation_space: spaces.Space | None = None,
         render_mode: str | None = None,
         reset_noise_scale: float = 0.0,
+        width: int = 480,
+        height: int = 480,
+        camera_id: int | None = None,
+        camera_name: str | None = None,
+        default_camera_config: dict[str, Any] | None = None,
+        max_geom: int = 1000,
+        visual_options: dict[int, bool] | None = None,
         **kwargs: Any,
     ):
         self.model_name = model_name
@@ -122,6 +133,20 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
         self._reset_noise_scale = reset_noise_scale
         self.render_mode = render_mode
         self._display = None
+        # render surface configuration (reference mujoco_env.py:46-113);
+        # camera_id/camera_name select among the model's fixed cameras in
+        # MuJoCo — this engine has one free tracking camera, so they are
+        # validated and recorded but both resolve to it
+        assert camera_id is None or camera_name is None, (
+            "camera_id and camera_name cannot both be supplied"
+        )
+        self.width = int(width)
+        self.height = int(height)
+        self.camera_id = camera_id
+        self.camera_name = camera_name
+        self._camera_config = dict(default_camera_config or {})
+        self.max_geom = max_geom  # accepted for API parity; software
+        self.visual_options = dict(visual_options or {})  # raster has no caps
 
         self._step_fn, self._dyn = _compiled_step(model_name, frame_skip)
 
@@ -142,7 +167,7 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
             self.observation_space = observation_space
 
         self.metadata = {
-            "render_modes": ["human", "rgb_array"],
+            "render_modes": ["human", "rgb_array", "depth_array", "rgbd_tuple"],
             "render_fps": int(np.round(1.0 / self.dt)),
         }
 
@@ -238,28 +263,46 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
                 "You are calling render method without specifying any render mode."
             )
             return None
+        if self.render_mode == "depth_array":
+            return self._render_frame(depth=True)
+        if self.render_mode == "rgbd_tuple":
+            return self._render_frame(), self._render_frame(depth=True)
         frame = self._render_frame()
         if self.render_mode == "human":
             if self._display is None:
                 from gymnasium_tpu.utils.human_display import HumanDisplay
 
                 self._display = HumanDisplay(
-                    480, 480, self.metadata["render_fps"], type(self).__name__
+                    self.width,
+                    self.height,
+                    self.metadata["render_fps"],
+                    type(self).__name__,
                 )
             self._display.show(frame)
             return None
         return frame
 
-    def _render_frame(self, width: int = 480, height: int = 480) -> np.ndarray:
+    def _render_frame(self, depth: bool = False) -> np.ndarray:
         """3D software-rasterized frame of the current state (render3d.py —
         the OffScreenViewer-role renderer, reference mujoco_rendering.py:334);
         falls back to the schematic 2D side view for models compiled without
-        render geoms."""
+        render geoms. ``depth=True`` returns the (H, W) float32 z-buffer in
+        camera-frame meters (reference ``render_mode="depth_array"``,
+        ant_v5.py:223)."""
         if self.meta.get("render_geoms"):
             from gymnasium_tpu.envs.mujoco.render3d import render_robot
 
-            return render_robot(self, width, height)
-        return self._render_side_view(width, height)
+            return render_robot(
+                self,
+                self.width,
+                self.height,
+                camera_config=self._camera_config,
+                depth=depth,
+            )
+        if depth:
+            # schematic fallback has no 3D scene: flat far-plane buffer
+            return np.full((self.height, self.width), 10.0, np.float32)
+        return self._render_side_view(self.width, self.height)
 
     def _render_side_view(self, width: int = 480, height: int = 480) -> np.ndarray:
         """Schematic x-z side view of the contact spheres and body frames."""

@@ -39,6 +39,7 @@ class PusherEnv(MujocoEnv, EzPickle):
             frame_skip=5,
             observation_space=spaces.Box(-np.inf, np.inf, (23,), np.float64),
             render_mode=render_mode,
+            **kwargs,
         )
         names = self.meta["body_names"]
         self._tips_idx = names.index("tips_arm") if "tips_arm" in names else len(names) - 3

@@ -35,6 +35,7 @@ class ReacherEnv(MujocoEnv, EzPickle):
             frame_skip=2,
             observation_space=spaces.Box(-np.inf, np.inf, (10,), np.float64),
             render_mode=render_mode,
+            **kwargs,
         )
         self._fingertip_idx = self.body_index("fingertip")
         self._target_idx = self.body_index("target")

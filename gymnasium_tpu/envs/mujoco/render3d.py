@@ -220,8 +220,10 @@ class Scene:
         distance: float | None = None,
         azimuth: float = 35.0,
         elevation: float = -25.0,
+        return_depth: bool = False,
     ) -> np.ndarray:
-        """Rasterize one frame (H, W, 3) uint8."""
+        """Rasterize one frame (H, W, 3) uint8; with ``return_depth`` also
+        the (H, W) float32 camera-z buffer (sky clamped to the far plane)."""
         # world-space triangle soup
         tri_v, tri_c = [], []
         for g in self.geoms:
@@ -315,6 +317,11 @@ class Scene:
             col = np.clip(colors[idx] * shade[idx] * 255, 0, 255).astype(np.uint8)
             region = img[y0:y1, x0:x1]
             region[write] = col
+        if return_depth:
+            sky = ~np.isfinite(zbuf)
+            far = float(zbuf[~sky].max()) * 1.05 if (~sky).any() else 10.0
+            depth = np.where(sky, far, zbuf).astype(np.float32)
+            return img, depth
         return img
 
     # -- background --------------------------------------------------------
@@ -366,13 +373,36 @@ class Scene:
         zbuf[hit] = t[hit]
 
 
-def render_robot(env, width: int = 480, height: int = 480) -> np.ndarray:
-    """Render a MujocoEnv's current state with its compiled Scene."""
+def render_robot(
+    env,
+    width: int = 480,
+    height: int = 480,
+    camera_config: dict | None = None,
+    depth: bool = False,
+) -> np.ndarray:
+    """Render a MujocoEnv's current state with its compiled Scene.
+
+    ``camera_config`` mirrors the reference's ``default_camera_config``
+    (mujoco_env.py:46-113): recognised keys are ``lookat``, ``distance``,
+    ``azimuth`` and ``elevation`` (``trackbodyid`` is implicit — the free
+    camera always tracks the root body when no lookat is given).
+    """
     scene = getattr(env, "_render3d_scene", None)
-    if scene is None or scene.width != width:
+    if scene is None or scene.width != width or scene.height != height:
         scene = Scene(env.meta, width, height)
         env._render3d_scene = scene
     R, p = env._dyn["fk"](env.qpos)
-    return scene.render(
-        np.asarray(R), np.asarray(p), ground_z=float(env.model.ground_z)
+    cfg = camera_config or {}
+    kwargs = dict(
+        ground_z=float(env.model.ground_z),
+        lookat=np.asarray(cfg["lookat"], float) if "lookat" in cfg else None,
+        distance=float(cfg["distance"]) if "distance" in cfg else None,
     )
+    if "azimuth" in cfg:
+        kwargs["azimuth"] = float(cfg["azimuth"])
+    if "elevation" in cfg:
+        kwargs["elevation"] = float(cfg["elevation"])
+    out = scene.render(np.asarray(R), np.asarray(p), return_depth=depth, **kwargs)
+    if depth:
+        return out[1]
+    return out

@@ -111,6 +111,7 @@ class SwimmerEnv(PlanarLocomotionEnv, EzPickle):
             observation_space=spaces.Box(-np.inf, np.inf, (obs_dim,), np.float64),
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,
+            **kwargs,
         )
         self._step_fn, self._dyn = _swimmer_step(self.frame_skip)
 

@@ -65,6 +65,7 @@ class Walker2dEnv(PlanarLocomotionEnv, EzPickle):
             observation_space=spaces.Box(-np.inf, np.inf, (obs_dim,), np.float64),
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,
+            **kwargs,
         )
 
     def is_healthy(self) -> bool:

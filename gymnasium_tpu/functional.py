@@ -147,16 +147,33 @@ class FuncEnv(Generic[StateType, ObsType, ActType, RewardType, TerminalType, Ren
         raise NotImplementedError
 
 
-def vectorize_func_env(func_env: FuncEnv, num_envs: int) -> FuncEnv:
+def vectorize_func_env(
+    func_env: FuncEnv, num_envs: int, sharding: Any = None
+) -> FuncEnv:
     """Return a FuncEnv whose hooks run on a leading batch axis of ``num_envs``.
 
     Each batched hook takes a *single* PRNG key and splits it across the batch
     internally, so :func:`make_autoreset_step` and :func:`make_initial_carry`
     compose unchanged. Params are broadcast (not vmapped); pass stacked params
     and change ``in_axes`` downstream if you need per-env dynamics.
+
+    ``sharding`` (a ``NamedSharding`` over the env-batch axis, or None) is
+    forwarded to any ``*_batched`` factory that accepts it, so natively
+    batched kernels can wrap themselves in ``shard_map`` over the mesh.
     """
+    import inspect
+
     import jax
     import jax.numpy as jnp
+
+    def call_factory(factory):
+        try:
+            accepts_sharding = "sharding" in inspect.signature(factory).parameters
+        except (TypeError, ValueError):
+            accepts_sharding = False
+        if accepts_sharding:
+            return factory(num_envs, sharding=sharding)
+        return factory(num_envs)
 
     batched = FuncEnv.__new__(type(func_env))
     batched.__dict__.update(func_env.__dict__)
@@ -207,7 +224,7 @@ def vectorize_func_env(func_env: FuncEnv, num_envs: int) -> FuncEnv:
         batched.initial = broadcast_initial
     def transition(state, action, rng, params=None):
         if transition_batched is not None:
-            batched_fn = transition_batched(num_envs)
+            batched_fn = call_factory(transition_batched)
             if batched_fn is not None:
                 return batched_fn(state, action, rng, params)
         return v_transition(state, action, keys("transition", rng), params)
@@ -216,7 +233,7 @@ def vectorize_func_env(func_env: FuncEnv, num_envs: int) -> FuncEnv:
 
     def observation(state, rng, params=None):
         if observation_batched is not None:
-            batched_fn = observation_batched(num_envs)
+            batched_fn = call_factory(observation_batched)
             if batched_fn is not None:
                 return batched_fn(state, rng, params)
         return v_observation(state, keys("observation", rng), params)

@@ -63,14 +63,19 @@ def save_video(
             writer = cv2.VideoWriter(
                 f"{path}.mp4", cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
             )
-            for frame in clip_frames:
-                writer.write(np.asarray(frame)[..., ::-1].copy())  # RGB -> BGR
+            if writer.isOpened():
+                for frame in clip_frames:
+                    writer.write(np.asarray(frame)[..., ::-1].copy())  # RGB -> BGR
+                writer.release()
+                return
             writer.release()
+            logger.warn("OpenCV VideoWriter could not open the mp4v codec.")
         except ImportError:
-            np.savez_compressed(f"{path}.npz", frames=np.stack(clip_frames), fps=fps)
-            logger.warn(
-                "Neither moviepy nor OpenCV is installed; frames were saved as .npz instead of encoded video."
-            )
+            pass
+        np.savez_compressed(f"{path}.npz", frames=np.stack(clip_frames), fps=fps)
+        logger.warn(
+            "No working video encoder (moviepy or OpenCV with mp4v) is available; frames were saved as .npz instead of encoded video."
+        )
 
     if episode_trigger is not None and episode_trigger(episode_index):
         clip_frames = frames[: video_length if video_length is not None else len(frames)]

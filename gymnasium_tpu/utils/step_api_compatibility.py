@@ -1,6 +1,15 @@
 """Conversion between the old done-based and new terminated/truncated step APIs.
 
 Parity surface: reference gymnasium/utils/step_api_compatibility.py:27-138.
+Behavior contract (pinned by the reference's test suite):
+
+- old -> new recovers truncation from the ``"TimeLimit.truncated"`` info key
+  (popped; absent means not truncated);
+- new -> old records ``"TimeLimit.truncated"`` in the info whenever the
+  episode ended — including ``False`` on pure termination — so the two
+  conversions round-trip;
+- vector envs carry infos either as a list of per-env dicts or as one
+  batched dict; both layouts are handled.
 """
 
 from __future__ import annotations
@@ -15,107 +24,87 @@ __all__ = [
     "step_api_compatibility",
 ]
 
-DoneStepType = Tuple[Union[dict, np.ndarray], Union[float, np.ndarray], Union[bool, np.ndarray], Union[dict, list]]
-TerminatedTruncatedStepType = Tuple[
-    Union[dict, np.ndarray], Union[float, np.ndarray], Union[bool, np.ndarray], Union[bool, np.ndarray], Union[dict, list]
+DoneStepType = Tuple[
+    Union[dict, np.ndarray],
+    Union[float, np.ndarray],
+    Union[bool, np.ndarray],
+    Union[dict, list],
 ]
+TerminatedTruncatedStepType = Tuple[
+    Union[dict, np.ndarray],
+    Union[float, np.ndarray],
+    Union[bool, np.ndarray],
+    Union[bool, np.ndarray],
+    Union[dict, list],
+]
+
+_FLAG = "TimeLimit.truncated"
+
+
+def _bad_infos(infos) -> TypeError:
+    return TypeError(
+        f"Vector-env infos must be a list of dicts or a batched dict, "
+        f"got {type(infos)}"
+    )
 
 
 def convert_to_terminated_truncated_step_api(step_returns, is_vector_env: bool = False):
     """Convert a 4-tuple ``(obs, reward, done, info)`` to the 5-tuple API.
 
-    ``TimeLimit.truncated`` is popped from the info to recover truncation
-    (reference step_api_compatibility.py:27-78).
+    The ``"TimeLimit.truncated"`` flag is popped out of the info to split
+    ``done`` into terminated/truncated (reference
+    step_api_compatibility.py:27-78).
     """
     if len(step_returns) == 5:
         return step_returns
-
     assert len(step_returns) == 4
-    observations, rewards, dones, infos = step_returns
+    obs, reward, done, infos = step_returns
 
-    if is_vector_env is False:
-        truncated = infos.pop("TimeLimit.truncated", False)
-        return (
-            observations,
-            rewards,
-            dones and not truncated,
-            dones and truncated,
-            infos,
-        )
+    if not is_vector_env:
+        was_truncation = bool(infos.pop(_FLAG, False))
+        return obs, reward, done and not was_truncation, done and was_truncation, infos
+
+    # vector form: build the per-env truncation-flag array from either layout
     if isinstance(infos, list):
-        truncated = np.array(
-            [info.pop("TimeLimit.truncated", False) for info in infos]
-        )
-        return (
-            observations,
-            rewards,
-            np.logical_and(dones, np.logical_not(truncated)),
-            np.logical_and(dones, truncated),
-            infos,
-        )
-    if isinstance(infos, dict):
-        num_envs = len(dones)
-        truncated = infos.pop("TimeLimit.truncated", np.zeros(num_envs, dtype=bool))
-        return (
-            observations,
-            rewards,
-            np.logical_and(dones, np.logical_not(truncated)),
-            np.logical_and(dones, truncated),
-            infos,
-        )
-    raise TypeError(
-        f"Unexpected value of infos, as is_vector_envs=False, expects `info` to be a list or dict, actual type: {type(infos)}"
-    )
+        flags = np.asarray([d.pop(_FLAG, False) for d in infos], dtype=bool)
+    elif isinstance(infos, dict):
+        flags = np.asarray(infos.pop(_FLAG, np.zeros(len(done), dtype=bool)))
+    else:
+        raise _bad_infos(infos)
+    done = np.asarray(done, dtype=bool)
+    return obs, reward, done & ~flags, done & flags, infos
 
 
 def convert_to_done_step_api(step_returns, is_vector_env: bool = False):
     """Convert a 5-tuple step return to the old 4-tuple ``done`` API.
 
-    Writes ``TimeLimit.truncated`` into the info (in place) whenever the
-    episode ended — including a ``False`` value when it terminated — so the
-    conversion roundtrips (reference step_api_compatibility.py:81-135).
+    Writes ``"TimeLimit.truncated"`` into the info (in place) for every
+    ended episode — ``False`` when it terminated — so a subsequent
+    old->new conversion round-trips (reference
+    step_api_compatibility.py:81-135).
     """
     if len(step_returns) == 4:
         return step_returns
-
     assert len(step_returns) == 5
-    observations, rewards, terminated, truncated, infos = step_returns
+    obs, reward, terminated, truncated, infos = step_returns
 
-    if is_vector_env is False:
-        if truncated or terminated:
-            infos["TimeLimit.truncated"] = truncated and not terminated
-        return (
-            observations,
-            rewards,
-            terminated or truncated,
-            infos,
-        )
+    if not is_vector_env:
+        if terminated or truncated:
+            infos[_FLAG] = bool(truncated) and not terminated
+        return obs, reward, terminated or truncated, infos
+
     if isinstance(infos, list):
-        for info, env_truncated, env_terminated in zip(
-            infos, truncated, terminated, strict=True
-        ):
-            if env_truncated or env_terminated:
-                info["TimeLimit.truncated"] = env_truncated and not env_terminated
-        return (
-            observations,
-            rewards,
-            np.logical_or(terminated, truncated),
-            infos,
-        )
-    if isinstance(infos, dict):
-        if np.logical_or(np.any(truncated), np.any(terminated)):
-            infos["TimeLimit.truncated"] = np.logical_and(
-                truncated, np.logical_not(terminated)
-            )
-        return (
-            observations,
-            rewards,
-            np.logical_or(terminated, truncated),
-            infos,
-        )
-    raise TypeError(
-        f"Unexpected value of infos, as is_vector_envs=False, expects `info` to be a list or dict, actual type: {type(infos)}"
-    )
+        for d, term, trunc in zip(infos, terminated, truncated, strict=True):
+            if term or trunc:
+                d[_FLAG] = bool(trunc) and not term
+    elif isinstance(infos, dict):
+        term = np.asarray(terminated, dtype=bool)
+        trunc = np.asarray(truncated, dtype=bool)
+        if (term | trunc).any():
+            infos[_FLAG] = trunc & ~term
+    else:
+        raise _bad_infos(infos)
+    return obs, reward, np.logical_or(terminated, truncated), infos
 
 
 def step_api_compatibility(
@@ -124,6 +113,9 @@ def step_api_compatibility(
     is_vector_env: bool = False,
 ):
     """Normalize step returns to the requested API shape."""
-    if output_truncation_bool:
-        return convert_to_terminated_truncated_step_api(step_returns, is_vector_env)
-    return convert_to_done_step_api(step_returns, is_vector_env)
+    convert = (
+        convert_to_terminated_truncated_step_api
+        if output_truncation_bool
+        else convert_to_done_step_api
+    )
+    return convert(step_returns, is_vector_env)

@@ -266,8 +266,9 @@ class AsyncVectorEnv(VectorEnv):
                 phase.value,
             )
 
+        self._ensure_no_dead_workers(op)
         deadline = None if timeout is None else time.perf_counter() + timeout
-        if not all(p is not None and p.readable_by(deadline) for p in self._peers):
+        if not all(p.readable_by(deadline) for p in self._peers):
             self._pending = AsyncState.DEFAULT
             raise multiprocessing.TimeoutError(
                 f"The call to `{op}_wait` has timed out after {timeout} second(s)."
@@ -278,7 +279,17 @@ class AsyncVectorEnv(VectorEnv):
         self._pending = AsyncState.DEFAULT
         return [result for result, ok in replies if ok]
 
+    def _ensure_no_dead_workers(self, op: str) -> None:
+        dead = [i for i, peer in enumerate(self._peers) if peer is None]
+        if dead:
+            self._pending = AsyncState.DEFAULT
+            raise ClosedEnvironmentError(
+                f"Cannot `{op}`: worker(s) {dead} previously died with an error "
+                "and were shut down. Recreate the AsyncVectorEnv to continue."
+            )
+
     def _broadcast(self, command: str, payloads: Any = None, per_env: bool = False):
+        self._ensure_no_dead_workers(command)
         if per_env:
             for peer, payload in zip(self._peers, payloads):
                 peer.post(command, payload)

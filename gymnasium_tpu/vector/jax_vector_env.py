@@ -78,7 +78,7 @@ class JaxVectorEnv(VectorEnv):
         self.observation_space = batch_space(self.single_observation_space, num_envs)
         self.action_space = batch_space(self.single_action_space, num_envs)
 
-        self._batched = vectorize_func_env(func_env, num_envs)
+        self._batched = vectorize_func_env(func_env, num_envs, sharding=sharding)
         step_fn = self._make_step()
         init_fn = self._make_init()
         if jit:
@@ -123,13 +123,21 @@ class JaxVectorEnv(VectorEnv):
     # -- sharding ----------------------------------------------------------
 
     def _place(self, tree):
+        """Shard per-env leaves over the mesh, replicate the rest.
+
+        Per-env-ness is decided structurally, not by shape coincidence: the
+        ``EnvCarry`` fields are known (state/steps/prev_done carry the batch
+        axis, the PRNG key is shared), and each functional wrapper declares
+        its own state layout via ``FuncWrapper.state_per_env`` — so a shared
+        leaf whose leading dim happens to equal ``num_envs`` (e.g. an RMS
+        mean over an obs_dim of exactly N) still replicates correctly.
+        """
         if self.sharding is None:
             return tree
+        mask = self._per_env_mask(tree)
 
-        def put(leaf):
-            # Only leaves carrying the env-batch axis shard; scalars and the
-            # shared PRNG key replicate.
-            if leaf.ndim == 0 or leaf.shape[0] != self.num_envs:
+        def put(leaf, per_env):
+            if not per_env:
                 return jax.device_put(
                     leaf,
                     jax.sharding.NamedSharding(
@@ -143,7 +151,40 @@ class JaxVectorEnv(VectorEnv):
                 leaf, jax.sharding.NamedSharding(self.sharding.mesh, spec)
             )
 
-        return jax.tree_util.tree_map(put, tree)
+        return jax.tree_util.tree_map(put, tree, mask)
+
+    def _per_env_mask(self, carry):
+        """Boolean pytree: True where a leaf carries the env-batch axis."""
+
+        def env_carry_mask(env_carry: EnvCarry) -> EnvCarry:
+            return EnvCarry(
+                state=jax.tree_util.tree_map(
+                    lambda leaf: jnp.ndim(leaf) > 0
+                    and jnp.shape(leaf)[0] == self.num_envs,
+                    env_carry.state,
+                ),
+                rng=False,
+                steps=True,
+                prev_done=True,
+            )
+
+        if isinstance(carry, EnvCarry):
+            return env_carry_mask(carry)
+        from gymnasium_tpu.wrappers.func import WrappedEnvCarry
+
+        if isinstance(carry, WrappedEnvCarry):
+            return WrappedEnvCarry(
+                env=env_carry_mask(carry.env),
+                wrappers=tuple(
+                    w.state_per_env(wstate, self.num_envs)
+                    for w, wstate in zip(self.wrappers, carry.wrappers)
+                ),
+            )
+        # unknown carry shape: fall back to the leading-dim heuristic
+        return jax.tree_util.tree_map(
+            lambda leaf: jnp.ndim(leaf) > 0 and jnp.shape(leaf)[0] == self.num_envs,
+            carry,
+        )
 
     # -- VectorEnv API ------------------------------------------------------
 

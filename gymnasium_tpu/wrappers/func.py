@@ -99,6 +99,20 @@ class FuncWrapper:
         """The (single-env) action space this wrapper accepts."""
         return space
 
+    def state_per_env(self, wstate: Any, num_envs: int) -> Any:
+        """Boolean pytree marking which state leaves carry the env-batch
+        axis (used by ``JaxVectorEnv`` to shard per-env leaves over the mesh
+        and replicate shared ones).
+
+        The default infers from the leading dimension; wrappers whose shared
+        state could coincidentally have a leading dim of ``num_envs`` (e.g.
+        RMS statistics over the obs axis) must override this.
+        """
+        return jax.tree_util.tree_map(
+            lambda leaf: jnp.ndim(leaf) > 0 and jnp.shape(leaf)[0] == num_envs,
+            wstate,
+        )
+
 
 class WrappedEnvCarry(NamedTuple):
     """:class:`EnvCarry` plus one state pytree per wrapper (innermost first).
@@ -255,6 +269,11 @@ class NormalizeObservation(FuncWrapper):
 
         return Box(-np.inf, np.inf, shape=space.shape, dtype=np.dtype(self.dtype).name)
 
+    def state_per_env(self, wstate, num_envs):
+        # the RMS statistics are shared by the whole batch — replicate even
+        # when the obs feature dim coincidentally equals num_envs
+        return jax.tree_util.tree_map(lambda _: False, wstate)
+
 
 class NormalizeRewardState(NamedTuple):
     rms: RmsState
@@ -294,6 +313,13 @@ class NormalizeReward(FuncWrapper):
         rms = rms_update(wstate.rms, acc)
         reward = ts.reward / jnp.sqrt(rms.var + self.epsilon)
         return NormalizeRewardState(rms, acc), ts._replace(reward=reward)
+
+    def state_per_env(self, wstate, num_envs):
+        # shared return statistics, per-env discounted-return accumulator
+        return NormalizeRewardState(
+            rms=jax.tree_util.tree_map(lambda _: False, wstate.rms),
+            accumulated=True,
+        )
 
 
 class FrameStackObservation(FuncWrapper):

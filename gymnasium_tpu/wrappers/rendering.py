@@ -212,6 +212,24 @@ class RecordVideo(gym.Wrapper[ObsType, ActType, ObsType, ActType], RecordConstru
         self.recording = True
         self._video_name = video_name
 
+    def _cv2_write(self, path: str) -> bool:
+        """Encode recorded frames with OpenCV; False if the codec is
+        unavailable (caller then falls through to the raw .npz dump)."""
+        import cv2
+
+        h, w = self.recorded_frames[0].shape[:2]
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), self.frames_per_sec, (w, h)
+        )
+        if not writer.isOpened():
+            writer.release()
+            logger.warn("OpenCV VideoWriter could not open the mp4v codec; saving raw frames instead.")
+            return False
+        for frame in self.recorded_frames:
+            writer.write(np.asarray(frame)[..., ::-1].copy())  # RGB -> BGR
+        writer.release()
+        return True
+
     def stop_recording(self):
         """Flush recorded frames to disk and stop recording."""
         assert self.recording, "stop_recording was called, but no recording was started"
@@ -224,21 +242,10 @@ class RecordVideo(gym.Wrapper[ObsType, ActType, ObsType, ActType], RecordConstru
             moviepy_logger = None if self.disable_logger else "bar"
             path = os.path.join(self.video_folder, f"{self._video_name}.mp4")
             clip.write_videofile(path, logger=moviepy_logger)
-        elif self._encoder == "cv2":
-            import cv2
-
-            path = os.path.join(self.video_folder, f"{self._video_name}.mp4")
-            h, w = self.recorded_frames[0].shape[:2]
-            writer = cv2.VideoWriter(
-                path,
-                cv2.VideoWriter_fourcc(*"mp4v"),
-                self.frames_per_sec,
-                (w, h),
-            )
-            for frame in self.recorded_frames:
-                # RGB -> BGR for OpenCV
-                writer.write(frame[..., ::-1].copy())
-            writer.release()
+        elif self._encoder == "cv2" and self._cv2_write(
+            os.path.join(self.video_folder, f"{self._video_name}.mp4")
+        ):
+            pass
         else:
             path = os.path.join(self.video_folder, f"{self._video_name}.npz")
             np.savez_compressed(

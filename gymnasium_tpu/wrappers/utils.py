@@ -1,11 +1,11 @@
 """Wrapper helpers: running mean/std and zero-array construction.
 
-Parity surface: reference gymnasium/wrappers/utils.py:30-130.
+Parity surface: reference gymnasium/wrappers/utils.py:30-130 (behavior, not
+structure — the zero-element builder here is a type registry rather than a
+``singledispatch`` chain, and the moment merge is weight-based).
 """
 
 from __future__ import annotations
-
-from functools import singledispatch
 
 import numpy as np
 
@@ -27,6 +27,28 @@ from gymnasium_tpu.spaces import (
 __all__ = ["RunningMeanStd", "update_mean_var_count_from_moments", "create_zero_array"]
 
 
+def merge_moments(stats_a, stats_b):
+    """Chan et al. parallel merge of two ``(mean, var, weight)`` moment sets.
+
+    Returns the moments of the union: the combined mean is the
+    weight-convex combination, and the combined second central moment adds
+    the between-set term ``d^2 * w_a*w_b/w``.
+    """
+    mean_a, var_a, w_a = stats_a
+    mean_b, var_b, w_b = stats_b
+    w = w_a + w_b
+    d = mean_b - mean_a
+    mean = mean_a + d * (w_b / w)
+    m2 = var_a * w_a + var_b * w_b + np.square(d) * (w_a * w_b / w)
+    return mean, m2 / w, w
+
+
+def update_mean_var_count_from_moments(mean, var, count, batch_mean, batch_var, batch_count):
+    """Fold batch moments into running statistics (reference-compatible
+    signature over :func:`merge_moments`)."""
+    return merge_moments((mean, var, count), (batch_mean, batch_var, batch_count))
+
+
 class RunningMeanStd:
     """Tracks running mean/variance with Chan's parallel update."""
 
@@ -37,105 +59,78 @@ class RunningMeanStd:
 
     def update(self, x: np.ndarray):
         """Fold a batch of samples (leading axis) into the statistics."""
-        batch_mean = np.mean(x, axis=0)
-        batch_var = np.var(x, axis=0)
-        batch_count = x.shape[0]
-        self.update_from_moments(batch_mean, batch_var, batch_count)
+        self.update_from_moments(np.mean(x, axis=0), np.var(x, axis=0), x.shape[0])
 
     def update_from_moments(self, batch_mean, batch_var, batch_count):
         """Fold precomputed batch moments into the statistics."""
-        self.mean, self.var, self.count = update_mean_var_count_from_moments(
-            self.mean, self.var, self.count, batch_mean, batch_var, batch_count
+        self.mean, self.var, self.count = merge_moments(
+            (self.mean, self.var, self.count), (batch_mean, batch_var, batch_count)
         )
 
 
-def update_mean_var_count_from_moments(mean, var, count, batch_mean, batch_var, batch_count):
-    """Chan et al. parallel-variance merge of two moment sets."""
-    delta = batch_mean - mean
-    tot_count = count + batch_count
-
-    new_mean = mean + delta * batch_count / tot_count
-    m_a = var * count
-    m_b = batch_var * batch_count
-    m2 = m_a + m_b + np.square(delta) * count * batch_count / tot_count
-    new_var = m2 / tot_count
-    new_count = tot_count
-
-    return new_mean, new_var, new_count
+# -- zero elements -----------------------------------------------------------
+#
+# ``create_zero_array(space)`` produces the padding element used by
+# Delay/FrameStack-style wrappers: all-zero where zero is inside the space,
+# clamped to the nearest bound otherwise. Organized as an explicit
+# type->builder table (new space types append to ``_ZERO_BUILDERS``).
 
 
-@singledispatch
-def create_zero_array(space: Space):
-    """A zero-valued element of ``space`` (used for padding)."""
-    if isinstance(space, Space):
-        raise CustomSpaceError(
-            f"Space of type `{type(space)}` doesn't have an registered `create_zero_array` function. Register `{type(space)}` for `create_zero_array` to support it."
-        )
-    raise TypeError(f"The space provided to `create_zero_array` is not a gymnasium Space instance, type: {type(space)}, {space}")
+def _zero_box(space: Box):
+    out = np.zeros(space.shape, dtype=space.dtype)
+    out = np.where(space.low > 0, space.low, out)
+    return np.where(space.high < 0, space.high, out)
 
 
-@create_zero_array.register(Box)
-def _create_box_zero_array(space: Box):
-    zero_array = np.zeros(space.shape, dtype=space.dtype)
-    zero_array = np.where(space.low > 0, space.low, zero_array)
-    zero_array = np.where(space.high < 0, space.high, zero_array)
-    return zero_array
+def _zero_sequence(space: Sequence):
+    if not space.stack:
+        return tuple()
+    from gymnasium_tpu.vector.utils import create_empty_array
+
+    return create_empty_array(space.feature_space, 0)
 
 
-@create_zero_array.register(Discrete)
-def _create_discrete_zero_array(space: Discrete):
-    return space.start
-
-
-@create_zero_array.register(MultiDiscrete)
-def _create_multidiscrete_zero_array(space: MultiDiscrete):
-    return np.array(space.start, copy=True, dtype=space.dtype)
-
-
-@create_zero_array.register(MultiBinary)
-def _create_multibinary_zero_array(space: MultiBinary):
-    return np.zeros(space.shape, dtype=space.dtype)
-
-
-@create_zero_array.register(Tuple)
-def _create_tuple_zero_array(space: Tuple):
-    return tuple(create_zero_array(subspace) for subspace in space.spaces)
-
-
-@create_zero_array.register(Dict)
-def _create_dict_zero_array(space: Dict):
-    return {key: create_zero_array(subspace) for key, subspace in space.spaces.items()}
-
-
-@create_zero_array.register(Sequence)
-def _create_sequence_zero_array(space: Sequence):
-    if space.stack:
-        from gymnasium_tpu.vector.utils import create_empty_array
-
-        return create_empty_array(space.feature_space, 0)
-    return tuple()
-
-
-@create_zero_array.register(Text)
-def _create_text_zero_array(space: Text):
-    return space.characters[0] * space.min_length
-
-
-@create_zero_array.register(Graph)
-def _create_graph_zero_array(space: Graph):
+def _zero_graph(space: Graph):
     from gymnasium_tpu.spaces import GraphInstance
 
-    nodes = np.expand_dims(create_zero_array(space.node_space), axis=0)
+    nodes = create_zero_array(space.node_space)[None]
     if space.edge_space is None:
         return GraphInstance(nodes=nodes, edges=None, edge_links=None)
-    edges = np.expand_dims(create_zero_array(space.edge_space), axis=0)
-    edge_links = np.zeros((1, 2), dtype=np.int64)
-    return GraphInstance(nodes=nodes, edges=edges, edge_links=edge_links)
+    return GraphInstance(
+        nodes=nodes,
+        edges=create_zero_array(space.edge_space)[None],
+        edge_links=np.zeros((1, 2), dtype=np.int64),
+    )
 
 
-@create_zero_array.register(OneOf)
-def _create_oneof_zero_array(space: OneOf):
-    return (np.int64(0), create_zero_array(space.spaces[0]))
+_ZERO_BUILDERS = {
+    Box: _zero_box,
+    Discrete: lambda space: space.start,
+    MultiDiscrete: lambda space: np.array(space.start, copy=True, dtype=space.dtype),
+    MultiBinary: lambda space: np.zeros(space.shape, dtype=space.dtype),
+    Tuple: lambda space: tuple(create_zero_array(sub) for sub in space.spaces),
+    Dict: lambda space: {k: create_zero_array(sub) for k, sub in space.spaces.items()},
+    Sequence: _zero_sequence,
+    Text: lambda space: space.characters[0] * space.min_length,
+    Graph: _zero_graph,
+    OneOf: lambda space: (np.int64(0), create_zero_array(space.spaces[0])),
+}
+
+
+def create_zero_array(space: Space):
+    """A zero-valued element of ``space`` (used for padding)."""
+    for cls in type(space).__mro__:
+        builder = _ZERO_BUILDERS.get(cls)
+        if builder is not None:
+            return builder(space)
+    if isinstance(space, Space):
+        raise CustomSpaceError(
+            f"No zero-element builder is known for space type `{type(space)}`; "
+            "add one to gymnasium_tpu.wrappers.utils._ZERO_BUILDERS to support it."
+        )
+    raise TypeError(
+        f"create_zero_array expects a gymnasium space, got type {type(space)}: {space}"
+    )
 
 
 def rescale_box(box, new_min, new_max):
@@ -146,46 +141,45 @@ def rescale_box(box, new_min, new_max):
     Returns ``(new_box, forward, backward)`` where forward maps original ->
     rescaled and backward maps rescaled -> original.
     """
-    from gymnasium_tpu.spaces import Box
-
     assert isinstance(box, Box)
 
-    if not isinstance(new_min, np.ndarray):
-        assert np.issubdtype(type(new_min), np.integer) or np.issubdtype(
-            type(new_min), np.floating
+    def as_bound(value, name):
+        if isinstance(value, np.ndarray):
+            bound = value
+        else:
+            assert np.issubdtype(type(value), np.integer) or np.issubdtype(
+                type(value), np.floating
+            ), f"{name} must be numeric or an ndarray, got {type(value)}"
+            bound = np.full(box.shape, value)
+        assert bound.shape == box.shape, (
+            f"{name} shape {bound.shape} does not match the box shape {box.shape}"
         )
-        new_min = np.full(box.shape, new_min)
-    assert new_min.shape == box.shape, f"{new_min.shape}, {box.shape}, {new_min}, {box.low}"
+        return bound
 
-    if not isinstance(new_max, np.ndarray):
-        assert np.issubdtype(type(new_max), np.integer) or np.issubdtype(
-            type(new_max), np.floating
-        )
-        new_max = np.full(box.shape, new_max)
-    assert new_max.shape == box.shape
+    new_min = as_bound(new_min, "new_min")
+    new_max = as_bound(new_max, "new_max")
+    # infinite bounds must be preserved verbatim: they pass through unscaled
     assert np.all((new_min == box.low)[np.isinf(new_min) | np.isinf(box.low)])
     assert np.all((new_max == box.high)[np.isinf(new_max) | np.isinf(box.high)])
     assert np.all(new_min <= new_max)
     assert np.all(box.low <= box.high)
 
-    try:
-        high_low_diff_dtype = np.float128
-    except AttributeError:
-        high_low_diff_dtype = np.float64
+    # the old-range width can overflow the box dtype; use the widest float
+    wide = getattr(np, "float128", np.float64)
 
     min_finite = np.isfinite(new_min)
     max_finite = np.isfinite(new_max)
     both_finite = min_finite & max_finite
 
-    high_low_diff = np.array(box.high[both_finite], dtype=high_low_diff_dtype) - np.array(
-        box.low[both_finite], dtype=high_low_diff_dtype
+    old_width = np.asarray(box.high[both_finite], dtype=wide) - np.asarray(
+        box.low[both_finite], dtype=wide
     )
 
     gradient = np.ones_like(new_min, dtype=box.dtype)
-    gradient[both_finite] = (new_max[both_finite] - new_min[both_finite]) / high_low_diff
+    gradient[both_finite] = (new_max[both_finite] - new_min[both_finite]) / old_width
 
     intercept = np.zeros_like(new_min, dtype=box.dtype)
-    # where both are finite, the lower-bound anchoring takes precedence
+    # where both bounds are finite, lower-bound anchoring takes precedence
     intercept[max_finite] = new_max[max_finite] - box.high[max_finite]
     intercept[min_finite] = gradient[min_finite] * -box.low[min_finite] + new_min[min_finite]
 

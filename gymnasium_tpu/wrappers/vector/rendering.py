@@ -175,12 +175,12 @@ class RecordVideo(VectorWrapper):
         closest to the requested one."""
         target = self.video_aspect_ratio[0] / self.video_aspect_ratio[1]
         best, best_diff = (1, n), float("inf")
-        for rows in range(1, int(n**0.5) + 1):
-            if n % rows == 0:
-                cols = n // rows
-                diff = abs((cols * w) / (rows * h) - target)
-                if diff < best_diff:
-                    best, best_diff = (rows, cols), diff
+        for small in range(1, int(n**0.5) + 1):
+            if n % small == 0:
+                for rows, cols in ((small, n // small), (n // small, small)):
+                    diff = abs((cols * w) / (rows * h) - target)
+                    if diff < best_diff:
+                        best, best_diff = (rows, cols), diff
         return best
 
     def _capture_frame(self):
@@ -261,6 +261,24 @@ class RecordVideo(VectorWrapper):
         self.recording = True
         self._video_name = video_name
 
+    def _cv2_write(self, path: str) -> bool:
+        """Encode recorded frames with OpenCV; False if the codec is
+        unavailable (caller then falls through to the raw .npz dump)."""
+        import cv2
+
+        h, w = self.recorded_frames[0].shape[:2]
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), self.frames_per_sec, (w, h)
+        )
+        if not writer.isOpened():
+            writer.release()
+            logger.warn("OpenCV VideoWriter could not open the mp4v codec; saving raw frames instead.")
+            return False
+        for frame in self.recorded_frames:
+            writer.write(np.asarray(frame)[..., ::-1].copy())  # RGB -> BGR
+        writer.release()
+        return True
+
     def stop_recording(self):
         """Flush recorded frames to disk and stop recording."""
         assert self.recording
@@ -274,17 +292,10 @@ class RecordVideo(VectorWrapper):
                 os.path.join(self.video_folder, f"{self._video_name}.mp4"),
                 logger=None if self.disable_logger else "bar",
             )
-        elif self._encoder == "cv2":
-            import cv2
-
-            path = os.path.join(self.video_folder, f"{self._video_name}.mp4")
-            h, w = self.recorded_frames[0].shape[:2]
-            writer = cv2.VideoWriter(
-                path, cv2.VideoWriter_fourcc(*"mp4v"), self.frames_per_sec, (w, h)
-            )
-            for frame in self.recorded_frames:
-                writer.write(frame[..., ::-1].copy())  # RGB -> BGR
-            writer.release()
+        elif self._encoder == "cv2" and self._cv2_write(
+            os.path.join(self.video_folder, f"{self._video_name}.mp4")
+        ):
+            pass
         else:
             np.savez_compressed(
                 os.path.join(self.video_folder, f"{self._video_name}.npz"),

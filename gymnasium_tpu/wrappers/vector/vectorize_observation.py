@@ -52,7 +52,7 @@ class TransformObservation(VectorObservationWrapper):
         else:
             self.observation_space = observation_space
             if single_observation_space is not None:
-                self._single_observation_space = single_observation_space
+                self.single_observation_space = single_observation_space
         if self.observation_space != batch_space(self.single_observation_space, self.num_envs):
             gym.logger.warn(
                 f"For {env}, the observation space and the batched single observation space don't match as expected, observation_space={env.observation_space}, batched single_observation_space={batch_space(self.single_observation_space, self.num_envs)}"

@@ -42,6 +42,58 @@ def test_rgb_array_frames_are_3d_renders(env_id):
     env.close()
 
 
+@pytest.mark.parametrize("env_id", ["Ant-v5", "HalfCheetah-v5"])
+def test_depth_array_render_mode(env_id):
+    """depth_array from the rasterizer's z-buffer (reference ant_v5.py:223)."""
+    env = gym.make(env_id, render_mode="depth_array", disable_env_checker=True)
+    env.reset(seed=0)
+    depth = env.render()
+    assert isinstance(depth, np.ndarray) and depth.shape == (480, 480)
+    assert depth.dtype == np.float32 and np.isfinite(depth).all()
+    # the robot must be closer than the sky/far plane
+    assert depth.min() < depth.max()
+    env.step(env.action_space.sample())
+    depth2 = env.render()
+    assert not np.array_equal(depth, depth2), "depth render ignores state"
+    env.close()
+
+
+def test_rgbd_tuple_render_mode():
+    env = gym.make("Hopper-v5", render_mode="rgbd_tuple", disable_env_checker=True)
+    env.reset(seed=0)
+    rgb, depth = env.render()
+    assert rgb.shape == (480, 480, 3) and rgb.dtype == np.uint8
+    assert depth.shape == (480, 480) and depth.dtype == np.float32
+    env.close()
+
+
+def test_render_size_and_camera_kwargs():
+    """width/height/camera kwargs (reference mujoco_env.py:46-113)."""
+    env = gym.make(
+        "Ant-v5",
+        render_mode="rgb_array",
+        width=128,
+        height=96,
+        default_camera_config={"distance": 6.0, "azimuth": 90.0, "elevation": -10.0},
+        camera_name="track",
+        disable_env_checker=True,
+    )
+    env.reset(seed=0)
+    frame = env.render()
+    assert frame.shape == (96, 128, 3)
+    env.close()
+
+    # both camera selectors at once is an error, as in the reference
+    with pytest.raises(AssertionError):
+        gym.make(
+            "Ant-v5",
+            render_mode="rgb_array",
+            camera_id=0,
+            camera_name="track",
+            disable_env_checker=True,
+        )
+
+
 def test_record_video_on_mujoco(tmp_path):
     from gymnasium_tpu.wrappers import RecordVideo
 

@@ -130,6 +130,54 @@ def test_fused_step_multi_block():
     assert np.isfinite(np.asarray(qo)).all()
 
 
+def test_fused_step_shard_map_mesh():
+    """The fused kernel engages on a multi-device mesh: transition_batched
+    wraps the per-block pallas_call in shard_map over the env axis (VERDICT
+    r2 #2). Runs on the 8-virtual-CPU-device mesh via the Pallas interpreter
+    with the smallest tree (reacher) and must match the unsharded kernel to
+    float32 ULPs (same program per block, only partitioned; interpret mode
+    lowers through XLA, whose fusion choices differ slightly under
+    shard_map — on TPU the compiled kernel is identical per block)."""
+    from gymnasium_tpu.envs.mujoco.reacher import ReacherFunctional
+
+    n_dev = min(8, jax.device_count())
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:n_dev]), ("dp",))
+    sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp"))
+
+    env = ReacherFunctional()
+    env.fused_kernel_mode = "interpret"
+    n = n_dev * BLOCK_ENVS
+
+    # gating: engaged on the mesh, refused when a shard isn't a whole block
+    step = env.transition_batched(n, sharding=sharding)
+    assert step is not None, "fused kernel must engage on a multi-device mesh"
+    assert env.transition_batched(n // 2, sharding=sharding) is None
+
+    model = env.model
+    q, qd, ctrl = _states(model, n, seed=5)
+    state = {
+        "qpos": jax.device_put(q, sharding),
+        "qvel": jax.device_put(qd, sharding),
+        "prev_x": jax.device_put(q[:, 0], sharding),
+    }
+    out = jax.jit(lambda s, a: step(s, a, None))(state, jax.device_put(ctrl, sharding))
+
+    ref_step = env.transition_batched(BLOCK_ENVS, sharding=None)
+    q_ref, qd_ref = [], []
+    for b in range(n_dev):
+        sl = slice(b * BLOCK_ENVS, (b + 1) * BLOCK_ENVS)
+        r = ref_step({"qpos": q[sl], "qvel": qd[sl], "prev_x": q[sl, 0]}, ctrl[sl], None)
+        q_ref.append(r["qpos"])
+        qd_ref.append(r["qvel"])
+    np.testing.assert_allclose(
+        np.asarray(out["qpos"]), np.concatenate(q_ref), atol=1e-6, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["qvel"]), np.concatenate(qd_ref), atol=1e-5, rtol=1e-5
+    )
+    assert np.isfinite(np.asarray(out["qpos"])).all()
+
+
 @pytest.mark.skipif(not ON_TPU, reason="needs real TPU (GYMTPU_TPU_TESTS=1)")
 def test_fused_path_drives_env_rollout():
     """End-to-end on TPU: JaxVectorEnv picks up transition_batched (the
