@@ -91,6 +91,8 @@ class JaxVectorEnv(VectorEnv):
 
         self._seed = seed if seed is not None else 0
         self.carry: EnvCarry | None = None
+        self._last_obs: Any = None
+        self._partial_reset_fn: Callable | None = None
         self._rollout_cache: dict[Any, Callable] = {}
 
     def _make_step(self):
@@ -189,16 +191,84 @@ class JaxVectorEnv(VectorEnv):
     # -- VectorEnv API ------------------------------------------------------
 
     def reset(self, *, seed: int | None = None, options: dict[str, Any] | None = None):
+        if options is not None and "reset_mask" in options:
+            return self._partial_reset(dict(options).pop("reset_mask"), seed)
         if seed is not None:
             self._seed = seed
         rng = jax.random.PRNGKey(self._seed)
         carry, obs = self._init_fn(rng)
         self.carry = self._place(carry)
+        self._last_obs = obs
+        return obs, {}
+
+    def _partial_reset(self, reset_mask, seed: int | None):
+        """Masked in-jit reset: only ``reset_mask`` lanes re-initialize,
+        the rest keep their state and report their last observation —
+        matching ``SyncVectorEnv`` masked-reset semantics (reference
+        sync_vector_env.py:192-220)."""
+        assert self.carry is not None, "Call reset before a masked reset."
+        reset_mask = np.asarray(reset_mask)
+        assert reset_mask.shape == (self.num_envs,), (
+            f"`options['reset_mask': mask]` must have shape `({self.num_envs},)`, "
+            f"got {reset_mask.shape}"
+        )
+        assert reset_mask.dtype == np.bool_, (
+            f"`options['reset_mask': mask]` must have `dtype=np.bool_`, "
+            f"got {reset_mask.dtype}"
+        )
+        assert np.any(reset_mask), (
+            "`options['reset_mask': mask]` must contain at least one True entry"
+        )
+
+        if self._partial_reset_fn is None:
+            init_fn = self._make_init()
+            per_env = self._per_env_mask(self.carry)
+
+            def broadcast(mask, leaf):
+                return jnp.reshape(mask, (-1,) + (1,) * (jnp.ndim(leaf) - 1))
+
+            def partial_reset(carry, last_obs, mask, rng):
+                fresh_carry, fresh_obs = init_fn(rng)
+
+                def merge(is_per_env, new, old):
+                    # per-env leaves select by lane; shared leaves keep the
+                    # live value (wrapper statistics survive a partial reset)
+                    # except the PRNG key, which advances to the fresh one
+                    if not is_per_env:
+                        return old
+                    return jnp.where(broadcast(mask, new), new, old)
+
+                merged = jax.tree_util.tree_map(merge, per_env, fresh_carry, carry)
+                if self.wrappers:
+                    merged = merged._replace(env=merged.env._replace(rng=fresh_carry.env.rng))
+                else:
+                    merged = merged._replace(rng=fresh_carry.rng)
+                obs = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(broadcast(mask, new), new, old),
+                    fresh_obs,
+                    last_obs,
+                )
+                return merged, obs
+
+            self._partial_reset_fn = jax.jit(partial_reset)
+
+        if seed is not None:
+            rng = jax.random.PRNGKey(seed)
+        else:
+            # fresh deterministic entropy from the carried key
+            base = self.carry.env if self.wrappers else self.carry
+            rng = jax.random.fold_in(base.rng, 7)
+        carry, obs = self._partial_reset_fn(
+            self.carry, self._last_obs, jnp.asarray(reset_mask), rng
+        )
+        self.carry = self._place(carry)
+        self._last_obs = obs
         return obs, {}
 
     def step(self, actions):
         assert self.carry is not None, "Call reset before using step method."
         self.carry, timestep = self._step_fn(self.carry, actions)
+        self._last_obs = timestep.obs
         return (
             timestep.obs,
             timestep.reward,

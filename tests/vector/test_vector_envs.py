@@ -162,3 +162,43 @@ def test_jax_vector_matches_modes():
     assert np.asarray(obs).shape == (4, 4)
     obs, r, te, tr, _ = env.step(np.zeros(4, dtype=np.int32))
     assert np.asarray(r).shape == (4,)
+
+
+def test_jax_vector_partial_reset():
+    """Masked in-jit partial reset matches SyncVectorEnv semantics
+    (reference sync_vector_env.py:192-220): masked lanes re-initialize,
+    unmasked lanes keep their state and report their last observation."""
+    env = gym.make_vec("CartPole-v1", num_envs=4, vectorization_mode="jax")
+    env.reset(seed=0)
+    last_obs = None
+    for _ in range(5):
+        last_obs, *_ = env.step(np.zeros(4, dtype=np.int32))
+    before = np.asarray(env.carry.steps)
+    assert (before == 5).all()
+
+    mask = np.array([True, False, True, False])
+    obs, infos = env.reset(options={"reset_mask": mask})
+    obs = np.asarray(obs)
+    assert obs.shape == (4, 4)
+    # unmasked lanes: identical observation and live step counters
+    assert np.array_equal(obs[~mask], np.asarray(last_obs)[~mask])
+    after = np.asarray(env.carry.steps)
+    assert (after[mask] == 0).all() and (after[~mask] == 5).all()
+    # masked lanes: fresh initial states (CartPole inits in [-0.05, 0.05])
+    assert (np.abs(obs[mask]) <= 0.05 + 1e-6).all()
+    # stepping continues for everyone
+    obs2, r, te, tr, _ = env.step(np.zeros(4, dtype=np.int32))
+    assert (np.asarray(env.carry.steps) == after + 1).all()
+
+    # masked reset with an explicit seed is deterministic
+    o1, _ = env.reset(options={"reset_mask": mask}, seed=123)
+    o2, _ = env.reset(options={"reset_mask": mask}, seed=123)
+    assert np.array_equal(np.asarray(o1)[mask], np.asarray(o2)[mask])
+
+    # invalid masks are rejected like the reference
+    with pytest.raises(AssertionError):
+        env.reset(options={"reset_mask": np.array([True, False])})
+    with pytest.raises(AssertionError):
+        env.reset(options={"reset_mask": np.zeros(4, dtype=np.bool_)})
+    with pytest.raises(AssertionError):
+        env.reset(options={"reset_mask": np.ones(4, dtype=np.int8)})
