@@ -68,12 +68,20 @@ class AntEnv(MujocoEnv, EzPickle):
             obs_dim += 13 * 6
         super().__init__(
             "ant",
-            frame_skip=5,
+            frame_skip=kwargs.pop("frame_skip", 5),
             observation_space=spaces.Box(-np.inf, np.inf, (obs_dim,), np.float64),
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,
             **kwargs,
         )
+
+    def _reset_info(self):
+        # reference ant_v5.py:423-428
+        return {
+            "x_position": self.qpos[0],
+            "y_position": self.qpos[1],
+            "distance_from_origin": np.linalg.norm(self.qpos[0:2] - self.init_qpos[0:2]),
+        }
 
     def _sample_initial_state(self):
         noise = self._reset_noise_scale
@@ -114,20 +122,25 @@ class AntEnv(MujocoEnv, EzPickle):
         xy_after = self.qpos[:2]
         x_velocity, y_velocity = (xy_after - xy_before) / self.dt
 
-        forward_reward = self.forward_reward_weight * x_velocity
+        forward_reward = float(self.forward_reward_weight * x_velocity)
         healthy = self.is_healthy()
-        healthy_reward = self.healthy_reward * (healthy or not self.terminate_when_unhealthy)
+        healthy_reward = float(
+            self.healthy_reward * (healthy or not self.terminate_when_unhealthy)
+        )
         ctrl_cost = self.ctrl_cost_weight * float(np.sum(np.square(action)))
         # contact cost over clipped wrenches (reference ant_v5.py:328-339)
         contact_cost = self.contact_cost_weight * float(
             np.sum(np.square(np.clip(self.cfrc_ext, *self._contact_force_range)))
         )
 
-        reward = forward_reward + healthy_reward - ctrl_cost - contact_cost
+        # fp grouping pinned by the reference's reward-sum contract:
+        # rewards = forward + healthy; costs = ctrl + contact (ant_v5.py:341)
+        reward = (healthy_reward + forward_reward) - (ctrl_cost + contact_cost)
         terminated = self.terminate_when_unhealthy and not healthy
         info = {
             "x_position": float(xy_after[0]),
             "y_position": float(xy_after[1]),
+            "distance_from_origin": float(np.linalg.norm(self.qpos[0:2] - self.init_qpos[0:2])),
             "x_velocity": float(x_velocity),
             "y_velocity": float(y_velocity),
             "reward_forward": float(forward_reward),

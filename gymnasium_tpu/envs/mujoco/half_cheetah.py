@@ -48,7 +48,7 @@ class HalfCheetahEnv(PlanarLocomotionEnv, EzPickle):
         obs_dim = 17 if exclude_current_positions_from_observation else 18
         super().__init__(
             "half_cheetah",
-            frame_skip=5,
+            frame_skip=kwargs.pop("frame_skip", 5),
             observation_space=spaces.Box(-np.inf, np.inf, (obs_dim,), np.float64),
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,

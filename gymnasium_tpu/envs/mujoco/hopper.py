@@ -65,7 +65,7 @@ class HopperEnv(PlanarLocomotionEnv, EzPickle):
         obs_dim = 11 if exclude_current_positions_from_observation else 12
         super().__init__(
             "hopper",
-            frame_skip=4,
+            frame_skip=kwargs.pop("frame_skip", 4),
             observation_space=spaces.Box(-np.inf, np.inf, (obs_dim,), np.float64),
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,

@@ -8,6 +8,7 @@ contact wrenches).
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import numpy as np
@@ -47,6 +48,32 @@ def _com_inertia_block(model, qpos_unused=None) -> np.ndarray:
     while len(rows) < _NBODY_OBS:
         rows.append(np.zeros(10))
     return np.concatenate(rows)
+
+
+@functools.lru_cache(maxsize=4)
+def _com_velocity_fn(model_name: str):
+    """Jitted per-body COM world velocity ``(qpos, qvel) -> (nbody, 3)``,
+    shared across env instances (the eager jvp was a large share of the
+    ~1.8s Humanoid host step)."""
+    import jax
+
+    from gymnasium_tpu.envs.mujoco.mujoco_env import load_model
+    from gymnasium_tpu.physics.articulated import integrate_pos, make_dynamics
+
+    model, _ = load_model(model_name)
+    dyn = make_dynamics(model)
+
+    def com_vel(qpos, qvel):
+        def com(t):
+            # differentiate along the position flow (quaternion retraction
+            # for the free root), not a raw coordinate tangent
+            pc, _ = dyn["com_world"](integrate_pos(model, qpos, qvel, t))
+            return pc
+
+        _, vel = jax.jvp(com, (0.0,), (1.0,))
+        return vel
+
+    return jax.jit(com_vel)
 
 
 class HumanoidEnv(MujocoEnv, EzPickle):
@@ -111,7 +138,7 @@ class HumanoidEnv(MujocoEnv, EzPickle):
         obs_dim += 78 * include_cfrc_ext_in_observation
         super().__init__(
             self.model_name_default,
-            frame_skip=5,
+            frame_skip=kwargs.pop("frame_skip", 5),
             observation_space=spaces.Box(-np.inf, np.inf, (obs_dim,), np.float64),
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,
@@ -130,20 +157,7 @@ class HumanoidEnv(MujocoEnv, EzPickle):
         return bool(min_z < self.torso_z < max_z)
 
     def _com_velocity_block(self) -> np.ndarray:
-        import jax
-
-        from gymnasium_tpu.physics.articulated import integrate_pos
-
-        qpos, qvel = self.qpos, self.qvel
-
-        def com(t):
-            # differentiate along the position flow (quaternion retraction
-            # for the free root), not a raw coordinate tangent
-            pc, _ = self._dyn["com_world"](integrate_pos(self.model, qpos, qvel, t))
-            return pc
-
-        _, vel = jax.jvp(com, (0.0,), (1.0,))
-        vel = np.asarray(vel)
+        vel = np.asarray(_com_velocity_fn(self.model_name_default)(self.qpos, self.qvel))
         rows = []
         for b in range(min(len(vel), _NBODY_OBS)):
             rows.append(np.concatenate([vel[b], np.zeros(3)]))
@@ -173,6 +187,15 @@ class HumanoidEnv(MujocoEnv, EzPickle):
             parts.append(self.cfrc_ext[:_NBODY_OBS].reshape(-1))
         return np.concatenate(parts).astype(np.float64)
 
+    def _reset_info(self):
+        # reference humanoid_v5.py:534-541 (tendon keys omitted: no tendons
+        # in this engine)
+        return {
+            "x_position": self.qpos[0],
+            "y_position": self.qpos[1],
+            "distance_from_origin": np.linalg.norm(self.qpos[0:2] - self.init_qpos[0:2]),
+        }
+
     def _sample_initial_state(self):
         noise = self._reset_noise_scale
         qpos = self.init_qpos + self.np_random.uniform(-noise, noise, self.model.nq)
@@ -181,19 +204,23 @@ class HumanoidEnv(MujocoEnv, EzPickle):
         return qpos, qvel
 
     def step(self, action):
-        xy_before = self.qpos[:2].copy()
+        # reference humanoid_v5.py:473-477: forward velocity is the
+        # whole-robot CENTER-OF-MASS displacement, not the root frame's
+        xy_before = self.mass_center_xy()
         self.do_simulation(action)
         self._last_ctrl = np.clip(
             np.asarray(action),
             self.model.act_ctrlrange[:, 0],
             self.model.act_ctrlrange[:, 1],
         )
-        xy_after = self.qpos[:2]
+        xy_after = self.mass_center_xy()
         x_velocity, y_velocity = (xy_after - xy_before) / self.dt
 
-        forward_reward = self.forward_reward_weight * x_velocity
+        forward_reward = float(self.forward_reward_weight * x_velocity)
         healthy = self.is_healthy()
-        healthy_reward = self.healthy_reward * (healthy or not self.terminate_when_unhealthy)
+        healthy_reward = float(
+            self.healthy_reward * (healthy or not self.terminate_when_unhealthy)
+        )
         ctrl_cost = self.ctrl_cost_weight * float(np.sum(np.square(action)))
         # contact cost over the aggregated wrenches, clipped
         # (reference humanoid_v5.py:422-427, restored in v5)
@@ -204,13 +231,18 @@ class HumanoidEnv(MujocoEnv, EzPickle):
             )
         )
 
-        reward = forward_reward + healthy_reward - ctrl_cost - contact_cost
+        # fp grouping pinned by the reference reward-sum contract:
+        # (forward + survive) + (reward_ctrl + reward_contact)
+        reward = (forward_reward + healthy_reward) + (-ctrl_cost + -contact_cost)
         terminated = self.terminate_when_unhealthy and not healthy
         info = {
-            "x_position": float(xy_after[0]),
-            "y_position": float(xy_after[1]),
+            # positions report the root frame (reference: data.qpos[0:2]),
+            # velocities the COM displacement — mirroring humanoid_v5.py
+            "x_position": float(self.qpos[0]),
+            "y_position": float(self.qpos[1]),
             "x_velocity": float(x_velocity),
             "y_velocity": float(y_velocity),
+            "distance_from_origin": float(np.linalg.norm(self.qpos[0:2] - self.init_qpos[0:2])),
             "reward_forward": float(forward_reward),
             "reward_ctrl": -ctrl_cost,
             "reward_contact": -contact_cost,
@@ -262,10 +294,20 @@ class HumanoidFunctional(MujocoFuncEnv):
             [position, velocity, jnp.asarray(self._cinert), rows, qfrc, cfrc_ext]
         )
 
+    def _com_x(self, q):
+        import jax.numpy as jnp
+
+        pc, _ = self._dyn["com_world"](q)
+        masses = jnp.asarray(self.model.bodies.mass)
+        return jnp.sum(masses * pc[:, 0]) / jnp.sum(masses)
+
     def reward(self, state, action, next_state, rng, params: Any = None):
         import jax.numpy as jnp
 
-        x_velocity = (next_state["qpos"][0] - next_state["prev_x"]) / self.dt
+        # forward velocity of the whole-robot CENTER OF MASS — matching the
+        # host env and reference humanoid_v5.py:473-477 (round-3 fix: the
+        # twin previously used the root-frame x velocity)
+        x_velocity = (self._com_x(next_state["qpos"]) - self._com_x(state["qpos"])) / self.dt
         z = next_state["qpos"][2]
         healthy = (z > 1.0) & (z < 2.0)
         ctrl_cost = 0.1 * jnp.sum(jnp.square(action))

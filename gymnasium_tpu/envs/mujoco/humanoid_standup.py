@@ -40,6 +40,18 @@ class HumanoidStandupEnv(HumanoidEnv):
             render_mode=render_mode,
             **kwargs,
         )
+        # re-record OUR constructor args: Humanoid's __init__ registered its
+        # own 15-arg signature above, which HumanoidStandupEnv cannot accept
+        # on unpickling (EzPickle is last-caller-wins)
+        EzPickle.__init__(
+            self,
+            uph_cost_weight,
+            ctrl_cost_weight,
+            impact_cost_weight,
+            reset_noise_scale,
+            render_mode,
+            **kwargs,
+        )
 
     def step(self, action):
         self.do_simulation(action)
@@ -49,7 +61,7 @@ class HumanoidStandupEnv(HumanoidEnv):
             self.model.act_ctrlrange[:, 1],
         )
         pos_after = self.torso_z
-        uph_cost = self.uph_cost_weight * pos_after / self.model.timestep
+        uph_cost = float(self.uph_cost_weight * pos_after / self.model.timestep)
         quad_ctrl_cost = self.ctrl_cost_weight * float(np.square(action).sum())
         # impact cost over the aggregated contact wrenches, clipped to 10
         # (reference humanoidstandup_v5.py:448-452)
@@ -58,9 +70,15 @@ class HumanoidStandupEnv(HumanoidEnv):
                 self.impact_cost_weight * np.square(self.cfrc_ext).sum(), -np.inf, 10.0
             )
         )
-        reward = uph_cost - quad_ctrl_cost - quad_impact_cost + 1
+        # fp grouping pinned by the reference reward-sum contract
+        reward = uph_cost + -quad_ctrl_cost + -quad_impact_cost + 1
 
         info = {
+            # position keys mirror reference humanoidstandup_v5.py:429-435
+            # (tendon length/velocity omitted: this engine models no tendons)
+            "x_position": float(self.qpos[0]),
+            "y_position": float(self.qpos[1]),
+            "z_distance_from_origin": float(self.qpos[2] - self.init_qpos[2]),
             "reward_linup": uph_cost,
             "reward_quadctrl": -quad_ctrl_cost,
             "reward_impact": -quad_impact_cost,
@@ -68,6 +86,13 @@ class HumanoidStandupEnv(HumanoidEnv):
         if self.render_mode == "human":
             self.render()
         return self._get_obs(), reward, False, False, info
+
+    def _reset_info(self):
+        return {
+            "x_position": self.qpos[0],
+            "y_position": self.qpos[1],
+            "z_distance_from_origin": self.qpos[2] - self.init_qpos[2],
+        }
 
 
 class HumanoidStandupFunctional(HumanoidFunctional):

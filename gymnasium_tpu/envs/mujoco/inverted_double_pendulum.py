@@ -40,7 +40,7 @@ class InvertedDoublePendulumEnv(MujocoEnv, EzPickle):
         self._healthy_reward = healthy_reward
         super().__init__(
             "inverted_double_pendulum",
-            frame_skip=5,
+            frame_skip=kwargs.pop("frame_skip", 5),
             observation_space=spaces.Box(-np.inf, np.inf, (9,), np.float64),
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,
@@ -74,8 +74,12 @@ class InvertedDoublePendulumEnv(MujocoEnv, EzPickle):
         v1, v2 = self.qvel[1:3]
         vel_penalty = 1e-3 * v1**2 + 5e-3 * v2**2
         terminated = bool(tip_y <= 1.0)
-        alive_bonus = self._healthy_reward * (not terminated)
-        reward = alive_bonus - dist_penalty - vel_penalty
+        alive_bonus = float(self._healthy_reward * (not terminated))
+        dist_penalty = float(dist_penalty)
+        vel_penalty = float(vel_penalty)
+        # fp grouping pinned by the reference reward-sum contract:
+        # survive + distance_penalty + velocity_penalty
+        reward = alive_bonus + -dist_penalty + -vel_penalty
         if self.render_mode == "human":
             self.render()
         return obs, reward, terminated, False, {

@@ -29,7 +29,7 @@ class InvertedPendulumEnv(MujocoEnv, EzPickle):
         EzPickle.__init__(self, reset_noise_scale, render_mode, **kwargs)
         super().__init__(
             "inverted_pendulum",
-            frame_skip=2,
+            frame_skip=kwargs.pop("frame_skip", 2),
             observation_space=spaces.Box(-np.inf, np.inf, (4,), np.float64),
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,

@@ -28,6 +28,9 @@ class PlanarLocomotionEnv(MujocoEnv):
     # planar robots with a root z slide report info["z_distance_from_origin"]
     # (reference hopper_v5.py:294, walker2d_v5.py) — qpos index of the z dof
     z_index: int | None = None
+    # xy-plane robots (swimmer) additionally report y position/velocity and
+    # distance_from_origin (reference swimmer_v5.py:250-262)
+    report_xy: bool = False
 
     def control_cost(self, action) -> float:
         """Quadratic actuation cost."""
@@ -44,16 +47,21 @@ class PlanarLocomotionEnv(MujocoEnv):
 
     def step(self, action):
         x_before = self.qpos[0]
+        y_before = self.qpos[1] if self.report_xy else 0.0
         self.do_simulation(action)
         x_after = self.qpos[0]
         x_velocity = (x_after - x_before) / self.dt
 
-        ctrl_cost = self.control_cost(action)
-        forward_reward = self.forward_reward_weight * x_velocity
+        ctrl_cost = float(self.control_cost(action))
+        forward_reward = float(self.forward_reward_weight * x_velocity)
         healthy = self.is_healthy()
-        healthy_reward = self.healthy_reward * (healthy or not self.terminate_when_unhealthy)
+        healthy_reward = float(
+            self.healthy_reward * (healthy or not self.terminate_when_unhealthy)
+        )
 
-        reward = forward_reward + healthy_reward - ctrl_cost
+        # float64 reward composed exactly as the reference sums its info
+        # components (test_mujoco_v5.py test_reward_sum pins the fp grouping)
+        reward = forward_reward + healthy_reward + -ctrl_cost
         terminated = self.terminate_when_unhealthy and not healthy
         info = {
             "x_position": x_after,
@@ -66,9 +74,28 @@ class PlanarLocomotionEnv(MujocoEnv):
             info["z_distance_from_origin"] = float(
                 self.qpos[self.z_index] - self.init_qpos[self.z_index]
             )
+        if self.report_xy:
+            info["y_position"] = float(self.qpos[1])
+            info["y_velocity"] = float((self.qpos[1] - y_before) / self.dt)
+            info["distance_from_origin"] = float(
+                np.linalg.norm(self.qpos[0:2] - self.init_qpos[0:2])
+            )
         if self.render_mode == "human":
             self.render()
         return self._get_obs(), reward, terminated, False, info
+
+    def _reset_info(self):
+        # reference v5 reset infos (e.g. hopper_v5.py:338-342): the position
+        # keys of the step info at the freshly reset state
+        info = {"x_position": self.qpos[0]}
+        if self.z_index is not None:
+            info["z_distance_from_origin"] = (
+                self.qpos[self.z_index] - self.init_qpos[self.z_index]
+            )
+        if self.report_xy:
+            info["y_position"] = self.qpos[1]
+            info["distance_from_origin"] = np.linalg.norm(self.qpos[0:2] - self.init_qpos[0:2])
+        return info
 
 
 class MujocoFuncEnv(FuncEnv):

@@ -92,13 +92,41 @@ def _compiled_step(name: str, frame_skip: int):
         (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=frame_skip)
         return q, qd
 
-    return jax.jit(run), dyn
+    # the auxiliary helpers run per host step (cfrc_ext, COM, rendering fk):
+    # eager op-by-op dispatch made a Humanoid step ~1.8s — jit them once per
+    # model, shared across env instances through this cache
+    jdyn = dict(dyn)
+    for key in ("fk", "contact_points", "contact_wrenches", "com_world"):
+        jdyn[key] = jax.jit(dyn[key])
+    return jax.jit(run), jdyn
 
 
 def expected_frame_skip(name: str, target_dt: float) -> int:
     """frame_skip giving the requested env dt for a model's timestep."""
     model, _ = load_model(name)
     return max(int(round(target_dt / model.timestep)), 1)
+
+
+class _MjDataShim:
+    """Live qpos/qvel view matching MuJoCo's ``MjData`` attribute names."""
+
+    def __init__(self, env: "MujocoEnv"):
+        self._env = env
+
+    @property
+    def qpos(self) -> np.ndarray:
+        return self._env.qpos
+
+    @property
+    def qvel(self) -> np.ndarray:
+        return self._env.qvel
+
+    @property
+    def xipos(self) -> np.ndarray:
+        """(nbody, 3) world COM positions, world row 0 zeroed (MuJoCo
+        layout; consumed by the reference's ``mass_center`` helper,
+        humanoid_v5.py:17-21)."""
+        return np.vstack([np.zeros(3), self._env._body_com_positions()])
 
 
 class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
@@ -176,6 +204,13 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
         """Env step duration: model timestep × frame_skip."""
         return self.model.timestep * self.frame_skip
 
+    @property
+    def data(self) -> "_MjDataShim":
+        """MuJoCo-style ``data`` view (``data.qpos``/``data.qvel``) over the
+        engine state, for reference-API compatibility (the reference's tests
+        read ``env.data.qpos`` — tests/envs/mujoco/test_mujoco_v5.py:89)."""
+        return _MjDataShim(self)
+
     # -- state -------------------------------------------------------------
 
     def set_state(self, qpos: np.ndarray, qvel: np.ndarray):
@@ -217,6 +252,31 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
         """World position of a named body's frame origin."""
         _, p = self._dyn["fk"](self.qpos)
         return np.asarray(p)[self.body_index(name)]
+
+    def get_body_com(self, name: str) -> np.ndarray:
+        """Cartesian position of a body FRAME (the reference's historical
+        misnomer — mujoco_env.py:164 returns ``data.body(name).xpos``, not
+        the COM). The free root's frame is ``qpos[:3]`` exactly."""
+        index = self.body_index(name)
+        if self.model.root_free and index == 0:
+            return self.qpos[:3].copy()
+        return self.body_xpos(name)
+
+    def _body_com_positions(self) -> np.ndarray:
+        """(nbody_without_world, 3) world center-of-mass of every body."""
+        R, p = self._dyn["fk"](self.qpos)
+        R, p = np.asarray(R, np.float64), np.asarray(p, np.float64)
+        com = np.asarray(self.model.bodies.com, np.float64)
+        return p + np.einsum("bij,bj->bi", R, com)
+
+    def mass_center_xy(self) -> np.ndarray:
+        """Whole-robot center of mass, xy — computed with the exact
+        expression of the reference's ``mass_center`` helper
+        (humanoid_v5.py:17-21) over the MuJoCo-layout shims, so external
+        code using that helper sees bit-identical values."""
+        masses = self.model.body_mass
+        xipos = self.data.xipos
+        return (np.einsum("b,bj->j", masses, xipos) / masses.sum())[0:2].copy()
 
     def state_vector(self) -> np.ndarray:
         """Concatenated (qpos, qvel)."""

@@ -36,7 +36,7 @@ class PusherEnv(MujocoEnv, EzPickle):
         self._reward_control_weight = reward_control_weight
         super().__init__(
             "pusher_v5",
-            frame_skip=5,
+            frame_skip=kwargs.pop("frame_skip", 5),
             observation_space=spaces.Box(-np.inf, np.inf, (23,), np.float64),
             render_mode=render_mode,
             **kwargs,

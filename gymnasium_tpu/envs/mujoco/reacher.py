@@ -32,7 +32,7 @@ class ReacherEnv(MujocoEnv, EzPickle):
         self._reward_control_weight = reward_control_weight
         super().__init__(
             "reacher",
-            frame_skip=2,
+            frame_skip=kwargs.pop("frame_skip", 2),
             observation_space=spaces.Box(-np.inf, np.inf, (10,), np.float64),
             render_mode=render_mode,
             **kwargs,

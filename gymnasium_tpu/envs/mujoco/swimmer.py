@@ -73,7 +73,11 @@ def _swimmer_step(frame_skip: int):
         (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=frame_skip)
         return q, qd
 
-    return jax.jit(step), dyn
+    # jit the per-host-step auxiliary helpers (see _compiled_step)
+    jdyn = dict(dyn)
+    for key in ("fk", "contact_points", "contact_wrenches", "com_world"):
+        jdyn[key] = jax.jit(dyn[key])
+    return jax.jit(step), jdyn
 
 
 class SwimmerEnv(PlanarLocomotionEnv, EzPickle):
@@ -82,6 +86,7 @@ class SwimmerEnv(PlanarLocomotionEnv, EzPickle):
     forward_reward_weight = 1.0
     ctrl_cost_weight = 1e-4
     terminate_when_unhealthy = False
+    report_xy = True  # swimmer reports y position/velocity + distance
 
     def __init__(
         self,
@@ -107,7 +112,7 @@ class SwimmerEnv(PlanarLocomotionEnv, EzPickle):
         obs_dim = 8 if exclude_current_positions_from_observation else 10
         super().__init__(
             "swimmer",
-            frame_skip=4,
+            frame_skip=kwargs.pop("frame_skip", 4),
             observation_space=spaces.Box(-np.inf, np.inf, (obs_dim,), np.float64),
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,

@@ -61,7 +61,7 @@ class Walker2dEnv(PlanarLocomotionEnv, EzPickle):
         obs_dim = 17 if exclude_current_positions_from_observation else 18
         super().__init__(
             "walker2d_v5",
-            frame_skip=4,
+            frame_skip=kwargs.pop("frame_skip", 4),
             observation_space=spaces.Box(-np.inf, np.inf, (obs_dim,), np.float64),
             render_mode=render_mode,
             reset_noise_scale=reset_noise_scale,

@@ -119,6 +119,22 @@ class ArticulatedModel(NamedTuple):
     def nu(self) -> int:
         return len(self.act_dof)
 
+    @property
+    def nbody(self) -> int:
+        """Body count INCLUDING the implicit world body (MuJoCo convention:
+        reference tests read ``env.model.nbody`` where row 0 is the world)."""
+        return len(self.bodies.parent) + 1
+
+    @property
+    def body_mass(self) -> np.ndarray:
+        """(nbody,) masses with the world's 0 at row 0 (MuJoCo layout)."""
+        return np.concatenate([[0.0], np.asarray(self.bodies.mass, dtype=np.float64)])
+
+    @property
+    def ntendon(self) -> int:
+        """Tendons are not modeled by this engine."""
+        return 0
+
 
 def _quat_to_mat_np(q):
     w, x, y, z = q

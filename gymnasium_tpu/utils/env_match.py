@@ -29,14 +29,45 @@ def check_environments_match(
     skip_info: bool = False,
     info_comparator=None,
     atol: float = 0.0,
+    info_comparison: str | None = None,
+    skip_render: bool = True,
 ):
     """Step both envs with identical action streams and assert equal outputs.
 
     ``atol=0`` demands bit-exact equality; a positive tolerance relaxes
     float comparisons (used for cross-dtype device-vs-host checks).
+
+    ``info_comparison`` accepts the reference's string modes
+    (env_match.py:32-37): "equivalence", "superset" (``info_b`` must contain
+    every item of ``info_a``), "keys-equivalence", "keys-superset", "skip".
+    ``skip_render=False`` additionally asserts identical rendered frames
+    (auto-skipped for None/"human" render modes, as in the reference).
     """
+    if info_comparison is not None:
+        assert info_comparison in (
+            "equivalence",
+            "superset",
+            "skip",
+            "keys-equivalence",
+            "keys-superset",
+        )
+        if info_comparison == "skip":
+            skip_info = True
+        elif info_comparison == "superset":
+            info_comparator = lambda a, b: all(  # noqa: E731
+                k in b and data_equivalence(a[k], b[k]) for k in a
+            )
+        elif info_comparison == "keys-equivalence":
+            info_comparator = lambda a, b: a.keys() == b.keys()  # noqa: E731
+        elif info_comparison == "keys-superset":
+            info_comparator = lambda a, b: b.keys() >= a.keys()  # noqa: E731
     if info_comparator is None:
         info_comparator = data_equivalence
+    skip_render = (
+        skip_render
+        or env_a.unwrapped.render_mode in (None, "human")
+        or env_b.unwrapped.render_mode in (None, "human")
+    )
 
     assert env_a.action_space == env_b.action_space, (
         f"Action spaces differ: {env_a.action_space} vs {env_b.action_space}"
@@ -49,6 +80,10 @@ def check_environments_match(
         assert _values_match(obs_a, obs_b, atol), f"Reset obs differ: {obs_a} vs {obs_b}"
     if not skip_info:
         assert info_comparator(info_a, info_b), f"Reset infos differ: {info_a} vs {info_b}"
+    if not skip_render:
+        assert np.array_equal(np.asarray(env_a.render()), np.asarray(env_b.render())), (
+            "Reset renders differ"
+        )
 
     env_a.action_space.seed(seed)
     for step in range(num_steps):
@@ -76,6 +111,10 @@ def check_environments_match(
             assert info_comparator(info_a, info_b), (
                 f"Step {step} infos differ: {info_a} vs {info_b}"
             )
+        if not skip_render:
+            assert np.array_equal(
+                np.asarray(env_a.render()), np.asarray(env_b.render())
+            ), f"Step {step} renders differ"
 
         if term_a or trunc_a:
             obs_a, info_a = env_a.reset()

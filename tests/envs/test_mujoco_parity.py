@@ -12,6 +12,7 @@ utils/env_match.py):
 Skipped when the real `mujoco` package is unavailable.
 """
 
+import os
 import sys
 
 import numpy as np
@@ -146,7 +147,7 @@ def test_random_policy_episode_length_distribution(env_id):
 
     def mean_len(make):
         out = []
-        for seed in range(5):
+        for seed in range(16):
             env = make(env_id)
             env.reset(seed=seed)
             env.action_space.seed(seed)
@@ -162,9 +163,13 @@ def test_random_policy_episode_length_distribution(env_id):
 
     ref_len = mean_len(ref_gym.make)
     our_len = mean_len(gym.make)
-    assert 0.5 * ref_len <= our_len <= 2.0 * ref_len, (
+    # measured over 16 seeds (PARITY_MUJOCO.json `episode_length`): the
+    # worst robot sits within ~25% of the real engine; the band is 1.4x with
+    # margin (narrowed from the round-1 factor-of-2 placeholder)
+    assert ref_len / 1.4 <= our_len <= 1.4 * ref_len, (
         f"{env_id}: mean episode length {our_len} vs reference {ref_len}"
     )
+    _record_parity("episode_length", env_id, {"ref_mean": ref_len, "ours_mean": our_len})
 
 
 def _episode_returns(make, env_id, n_episodes, horizon, seed0=0):
@@ -198,30 +203,72 @@ RETURN_DISTRIBUTION_ROBOTS = [
 ]
 
 
+# long-horizon robots (VERDICT r2 #5): locomotion returns only separate
+# engines after hundreds of steps of accumulated contact dynamics
+LONG_HORIZON = {"HalfCheetah-v5": 500, "Hopper-v5": 500, "Walker2d-v5": 500, "Ant-v5": 500}
+
+
+def _record_parity(section: str, env_id: str, payload: dict) -> None:
+    """Append slow-run evidence into PARITY_MUJOCO.json (reviewable artifact
+    for assertions whose runs CI never sees — VERDICT r2 #5)."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "PARITY_MUJOCO.json")
+    path = os.path.abspath(path)
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        data = {}
+    data.setdefault(section, {})[env_id] = {
+        k: (round(float(v), 4) if isinstance(v, (int, float)) else v)
+        for k, v in payload.items()
+    }
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=1, sort_keys=True)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("env_id", RETURN_DISTRIBUTION_ROBOTS)
 def test_random_policy_return_distribution(env_id):
     """BASELINE.md criterion: matching episode-RETURN distributions under a
     random policy. Two-sample location/scale comparison with pinned seeds
-    plus a KS sanity check (the engines' RNG streams differ, so this is a
-    distributional claim, not a trajectory claim)."""
+    plus a KS test (the engines' RNG streams differ, so this is a
+    distributional claim, not a trajectory claim). n=64 episodes; horizon
+    500 for the locomotion robots (VERDICT r2 #5), 120 for the short ones.
+    Each run refreshes the PARITY_MUJOCO.json evidence artifact."""
     from scipy import stats
 
-    n, horizon = 16, 120
+    n = 64
+    horizon = LONG_HORIZON.get(env_id, 120)
     ref_r = _episode_returns(ref_gym.make, env_id, n, horizon)
     our_r = _episode_returns(gym.make, env_id, n, horizon)
 
-    # location: means within 3 pooled standard errors OR 20% relative
     pooled_se = np.sqrt(ref_r.var() / n + our_r.var() / n) + 1e-9
     mean_gap = abs(ref_r.mean() - our_r.mean())
     rel_gap = mean_gap / (abs(ref_r.mean()) + 1e-6)
-    assert mean_gap < 3.5 * pooled_se or rel_gap < 0.25, (
+    ks = stats.ks_2samp(ref_r, our_r)
+    _record_parity(
+        "return_distribution",
+        env_id,
+        {
+            "n": n,
+            "horizon": horizon,
+            "ref_mean": ref_r.mean(),
+            "ref_std": ref_r.std(),
+            "ours_mean": our_r.mean(),
+            "ours_std": our_r.std(),
+            "mean_gap_in_se": mean_gap / pooled_se,
+            "ks_pvalue": ks.pvalue,
+        },
+    )
+    # location: means within 3 pooled standard errors OR 15% relative
+    assert mean_gap < 3.0 * pooled_se or rel_gap < 0.15, (
         f"{env_id}: return means diverge — ours {our_r.mean():.2f}±{our_r.std():.2f} "
         f"vs ref {ref_r.mean():.2f}±{ref_r.std():.2f}"
     )
-    # shape: KS two-sample must not reject catastrophically
-    ks = stats.ks_2samp(ref_r, our_r)
-    assert ks.pvalue > 1e-3, (
+    # shape: KS two-sample at a conventional significance floor
+    assert ks.pvalue > 0.01, (
         f"{env_id}: KS rejects return-distribution match (p={ks.pvalue:.2e}); "
-        f"ours {np.sort(our_r)} vs ref {np.sort(ref_r)}"
+        f"ours {np.sort(our_r)[:8]}... vs ref {np.sort(ref_r)[:8]}..."
     )
