@@ -51,7 +51,8 @@ __all__ = ["CarRacingFunctional"]
 NUM_TILES = 384  # fixed track length (reference tracks: ~250-320 variable)
 CHECKPOINTS = 12
 TILE_CHUNK = 96  # rasterizer min-reduction chunk (host-parity path)
-RASTER_TILES = 96  # nearest-to-car tiles swept by the device rasterizer
+RASTER_TILES = 96  # nearest-to-car tiles eligible for the device rasterizer
+RASTER_TILES_PER_BLOCK = 32  # nearest-to-block tiles actually swept per 8x16-px block
 WHEEL_RAD = 27 * SIZE  # front/rear wheel radius (car_dynamics.py)
 
 
@@ -279,16 +280,32 @@ class CarRacingFunctional(FuncEnv):
         near = centers[near_idx]  # (K, 2)
         # Pixels grouped into 8x16-px blocks — exactly 128 pixels, so the
         # pixel axis fills the TPU lane dimension end to end — with the tile
-        # axis in the MIDDLE of a (blocks, K, 128) broadcast: each of the K
-        # difference planes is then a full-lane (72, 128) vector op.  The
-        # flat (P, K) form keeps K=96 on the lane axis (96/128 utilization,
+        # axis in the MIDDLE of a (blocks, K2, 128) broadcast: each of the
+        # K2 difference planes is then a full-lane (72, 128) vector op.  The
+        # flat (P, K) form keeps K on the lane axis (96/128 utilization,
         # and the min-reduce runs across lanes); measured 2.15x slower.
         # K-major (K, 72, 128) forces a cross-sublane reduction: ~100x
-        # slower.  Exact: all K car-near tiles are swept for every pixel.
+        # slower.
         wxb = wx.reshape(12, 8, 6, 16).transpose(0, 2, 1, 3).reshape(72, 128)
         wyb = wy.reshape(12, 8, 6, 16).transpose(0, 2, 1, 3).reshape(72, 128)
-        dx = wxb[:, None, :] - near[None, :, 0][:, :, None]  # (72, K, 128)
-        dy = wyb[:, None, :] - near[None, :, 1][:, :, None]
+        # Second culling level: of the K car-near tiles, only those within
+        # TRACK_WIDTH + block half-diagonal (~9.5 m) of a block's center can
+        # flip any of its 128 pixels, and a 9.5 m disc intersects far less
+        # track arc than K2 tiles span (tile spacing ~1.6 m: a straight pass
+        # crosses ~12, a hairpin ~24) — so the K2 nearest-to-block tiles
+        # contain every reachable one.  The cull itself is a cheap (72, K)
+        # plane + top_k; the raster then sweeps 3x less arithmetic.  The
+        # brute-force oracle test (test_blocked_rasterizer_matches_all_tiles
+        # _sweep) pins exactness against ALL-tile sweeps at hairpins.
+        bcx = jnp.mean(wxb, axis=1)  # (72,) block centers in world coords
+        bcy = jnp.mean(wyb, axis=1)
+        d2block = (bcx[:, None] - near[None, :, 0]) ** 2 + (
+            bcy[:, None] - near[None, :, 1]
+        ) ** 2  # (72, K)
+        _, idx2 = jax.lax.top_k(-d2block, RASTER_TILES_PER_BLOCK)
+        tiles_b = near[idx2]  # (72, K2, 2)
+        dx = wxb[:, None, :] - tiles_b[..., 0][:, :, None]  # (72, K2, 128)
+        dy = wyb[:, None, :] - tiles_b[..., 1][:, :, None]
         mind2b = jnp.min(dx * dx + dy * dy, axis=1)  # (72, 128)
         road = (
             (mind2b <= TRACK_WIDTH**2)

@@ -47,11 +47,7 @@ class FunctionalJaxEnv(gym.Env):
         self.observation_space = func_env.observation_space
         self.action_space = func_env.action_space
 
-        self._transition = jax.jit(func_env.transition, static_argnums=())
-        self._initial = jax.jit(func_env.initial)
-        self._observation = jax.jit(func_env.observation)
-        self._reward = jax.jit(func_env.reward)
-        self._terminal = jax.jit(func_env.terminal)
+        self._compile_hooks()
 
         self.state = None
         self.rng = jax.random.PRNGKey(np.random.SeedSequence().entropy % (2**63))
@@ -96,6 +92,33 @@ class FunctionalJaxEnv(gym.Env):
         if self.render_state is not None:
             self.func_env.render_close(self.render_state)
             self.render_state = None
+
+    # -- pickling (reference phys2d envs are EzPickle, cartpole.py:255) ----
+
+    def _compile_hooks(self):
+        self._transition = jax.jit(self.func_env.transition, static_argnums=())
+        self._initial = jax.jit(self.func_env.initial)
+        self._observation = jax.jit(self.func_env.observation)
+        self._reward = jax.jit(self.func_env.reward)
+        self._terminal = jax.jit(self.func_env.terminal)
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        # jitted executables and host render resources are rebuilt on load
+        for key in ("_transition", "_initial", "_observation", "_reward", "_terminal"):
+            d.pop(key, None)
+        d["render_state"] = None
+        d["rng"] = np.asarray(self.rng)
+        if self.state is not None:
+            d["state"] = jax.tree_util.tree_map(np.asarray, self.state)
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self.rng = jnp.asarray(d["rng"])
+        self._compile_hooks()
+        if self.render_mode == "rgb_array":
+            self.render_state = self.func_env.render_init()
 
 
 class FunctionalJaxVectorEnv(JaxVectorEnv):

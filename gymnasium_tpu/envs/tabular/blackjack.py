@@ -143,6 +143,43 @@ class BlackjackFunctional(FuncEnv):
     def terminal(self, state, rng, params: Any = None):
         return state["done"]
 
+    # -- host-side rgb rendering (reference tabular/blackjack.py draws card
+    # sprites via pygame; this raster schematic shows the same state) -------
+
+    def render_init(self, width: int = 240, height: int = 160, **kwargs: Any):
+        return {"width": width, "height": height}
+
+    def render_image(self, state, render_state, params: Any = None):
+        import numpy as np
+
+        from gymnasium_tpu.utils.raster import Canvas
+
+        W, H = render_state["width"], render_state["height"]
+        canvas = Canvas(W, H, (20, 90, 50))  # table felt
+        best, usable = _best(state["p_sum"], state["p_ace"])
+        player = int(np.asarray(best))
+        dealer = int(np.asarray(state["d_show"]))
+        ace = bool(np.asarray(usable))
+        done = bool(np.asarray(state["done"]))
+
+        def bar(x, value, vmax, color):
+            h = max(int((H - 40) * min(value, vmax) / vmax), 2)
+            canvas.polygon(
+                [(x, H - 20 - h), (x + 50, H - 20 - h), (x + 50, H - 20), (x, H - 20)],
+                color,
+            )
+
+        bar(30, player, 31, (230, 230, 240))  # player hand value
+        bar(110, dealer, 11, (240, 200, 90))  # dealer showing card
+        if ace:
+            canvas.circle((190, 40), 14, (220, 80, 80))  # usable-ace marker
+        if done:
+            canvas.hline(H - 10, (250, 250, 250), 4)
+        return render_state, canvas.rgb_array()
+
+    def render_close(self, render_state) -> None:
+        return None
+
 
 from gymnasium_tpu.envs.functional_jax_env import FunctionalJaxEnv  # noqa: E402
 

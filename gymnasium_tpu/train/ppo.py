@@ -296,13 +296,21 @@ def make_train_step(
         )
         returns = advantages + traj.value
 
-        batch_size = config.rollout_steps * config.num_envs
-        flat = jax.tree_util.tree_map(
-            lambda x: x.reshape((batch_size,) + x.shape[2:]), traj
+        # Minibatching stays mesh-partitionable (the env axis is dp-sharded):
+        # a flat global permutation of (T*N,) would force XLA to all-gather
+        # the whole rollout onto every device (SCALING_PROXY.json caught
+        # this as per-device update FLOPs that did not shrink with the
+        # mesh). Instead each epoch permutes the TIME axis — replicated, so
+        # the gather is device-local — and carves minibatches as contiguous
+        # slices of it. Every minibatch then holds ALL envs at mb_steps
+        # random timesteps: full cross-env diversity with zero cross-device
+        # traffic in the update other than the gradient all-reduce.
+        adv_n = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        batch = (traj.obs, traj.action, traj.logp, traj.value, adv_n, returns)
+        mb_steps = config.rollout_steps // config.num_minibatches
+        assert mb_steps > 0, (
+            "rollout_steps must be >= num_minibatches (minibatches are time slices)"
         )
-        flat_adv = advantages.reshape(batch_size)
-        flat_ret = returns.reshape(batch_size)
-        flat_adv = (flat_adv - flat_adv.mean()) / (flat_adv.std() + 1e-8)
 
         def loss_fn(params, mb):
             obs, action, old_logp, old_value, adv, ret = mb
@@ -320,20 +328,18 @@ def make_train_step(
 
         def epoch_body(carry, _):
             params, opt_state, rng = carry
-            rng, k = jax.random.split(rng)
-            perm = jax.random.permutation(k, batch_size)
-            mb_size = batch_size // config.num_minibatches
+            rng, k_t = jax.random.split(rng)
+            perm_t = jax.random.permutation(k_t, config.rollout_steps)
+            shuffled = jax.tree_util.tree_map(lambda x: x[perm_t], batch)
 
             def minibatch_body(carry, mb_idx):
                 params, opt_state = carry
-                idx = jax.lax.dynamic_slice_in_dim(perm, mb_idx * mb_size, mb_size)
-                mb = (
-                    flat.obs[idx],
-                    flat.action[idx],
-                    flat.logp[idx],
-                    flat.value[idx],
-                    flat_adv[idx],
-                    flat_ret[idx],
+                # minibatches stay (mb_steps, N, ...): the loss reduces over
+                # all leading dims, and NOT flattening keeps the env axis
+                # sharded (a (T*N,) reshape would interleave device shards)
+                mb = jax.tree_util.tree_map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(x, mb_idx * mb_steps, mb_steps),
+                    shuffled,
                 )
                 (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, mb)
                 updates, opt_state = tx.update(grads, opt_state, params)

@@ -17,6 +17,7 @@ import numpy as np
 import gymnasium_tpu as gym
 from gymnasium_tpu.core import ActType, ObsType, RenderFrame, WrapperActType, WrapperObsType
 from gymnasium_tpu.error import DependencyNotInstalled
+from gymnasium_tpu.utils import RecordConstructorArgs
 
 __all__ = ["ArrayConversion", "module_namespace", "array_conversion"]
 
@@ -109,14 +110,21 @@ def _number_conversion(value, xp):
     return _from_numpy(np.asarray(value), xp)
 
 
-class ArrayConversion(gym.Wrapper):
+class ArrayConversion(gym.Wrapper, RecordConstructorArgs):
     """Convert actions from / results to a target array framework.
 
     The env itself operates in ``env_xp`` arrays; the user sees ``target_xp``
     arrays. E.g. ``ArrayConversion(env, env_xp="jax", target_xp="torch")``.
+
+    Inherits ``RecordConstructorArgs`` (as the reference does,
+    array_conversion.py:156) so the wrapper appears reconstructibly in
+    ``EnvSpec.additional_wrappers``.
     """
 
     def __init__(self, env: gym.Env, env_xp, target_xp):
+        RecordConstructorArgs.__init__(
+            self, env_xp=env_xp, target_xp=target_xp, _disable_deepcopy=True
+        )
         gym.Wrapper.__init__(self, env)
         self._env_xp = module_namespace(env_xp) if isinstance(env_xp, str) else env_xp
         self._target_xp = module_namespace(target_xp) if isinstance(target_xp, str) else target_xp
@@ -151,8 +159,8 @@ class ArrayConversion(gym.Wrapper):
         }
 
     def __setstate__(self, d):
-        """Restore namespaces by re-importing them from their names."""
-        self.env = d["env"]
+        """Restore namespaces by re-importing them from their names; the
+        Wrapper base state (lazy space/metadata overrides) re-initializes."""
         self._env_xp = module_namespace(d["env_xp_name"])
         self._target_xp = module_namespace(d["target_xp_name"])
-        self._cached_spec = None
+        gym.Wrapper.__init__(self, d["env"])

@@ -33,4 +33,7 @@ class JaxToNumpy(ArrayConversion):
     def __init__(self, env: gym.Env):
         import jax.numpy as jnp
 
+        from gymnasium_tpu.utils import RecordConstructorArgs
+
+        RecordConstructorArgs.__init__(self)  # no user kwargs to rebuild
         super().__init__(env, env_xp=jnp, target_xp=np)

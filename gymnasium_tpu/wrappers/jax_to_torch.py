@@ -34,5 +34,8 @@ class JaxToTorch(ArrayConversion):
         import jax.numpy as jnp
         import torch
 
+        from gymnasium_tpu.utils import RecordConstructorArgs
+
+        RecordConstructorArgs.__init__(self, device=device)
         super().__init__(env, env_xp=jnp, target_xp=torch)
         self.device = device

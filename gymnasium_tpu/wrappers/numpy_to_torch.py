@@ -33,5 +33,8 @@ class NumpyToTorch(ArrayConversion):
     def __init__(self, env: gym.Env, device: Any = None):
         import torch
 
+        from gymnasium_tpu.utils import RecordConstructorArgs
+
+        RecordConstructorArgs.__init__(self, device=device)
         super().__init__(env, env_xp=np, target_xp=torch)
         self.device = device

@@ -3,6 +3,8 @@
 Validates SURVEY.md §7 stage 7: env-state pytrees sharded over a mesh, the
 same compiled step running SPMD, and the sharded PPO train step."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -134,3 +136,27 @@ def test_per_device_work_invariance():
     assert len(set(shard_shapes.values())) == 1, (
         f"per-device work varies with mesh size: {shard_shapes}"
     )
+
+
+def test_scaling_proxy_collective_invariance():
+    """Compile-time scaling proxy (VERDICT r2 #9): the dp-sharded env step
+    lowers to ZERO collectives at any mesh size, and the PPO train step's
+    collective count is constant while per-device FLOPs shrink with the
+    mesh. tools/scaling_proxy.py emits the full SCALING_PROXY.json artifact;
+    this test pins the invariants on a small/large pair."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import scaling_proxy
+
+    cpu = jax.devices()
+    env_1 = scaling_proxy.analyze_env_step(cpu[:1], 64)
+    env_8 = scaling_proxy.analyze_env_step(cpu[:8], 64)
+    assert sum(env_1["collectives"].values()) == 0
+    assert sum(env_8["collectives"].values()) == 0
+    assert env_8["flops_per_device"] <= 0.3 * env_1["flops_per_device"]
+
+    ppo_2 = scaling_proxy.analyze_ppo_step(cpu[:2], 64)
+    ppo_8 = scaling_proxy.analyze_ppo_step(cpu[:8], 64)
+    assert sum(ppo_2["collectives"].values()) == sum(ppo_8["collectives"].values())
+    assert ppo_8["flops_per_device"] < 0.5 * ppo_2["flops_per_device"]

@@ -1,0 +1,180 @@
+"""Scaling-efficiency proxy: per-device HLO invariance as the mesh grows.
+
+Real multi-chip hardware is unavailable in CI (single tunnel chip), so the
+≥90%-scaling-efficiency north star (BASELINE.md) is tracked through a
+compile-time proxy measured on virtual host devices:
+
+- **env rollout step** (dp-sharded JaxVectorEnv autoreset step): must lower
+  to ZERO cross-device collectives at every mesh size (each device steps its
+  own lanes; nothing to communicate), with per-device FLOPs scaling as 1/n.
+- **PPO train step** (dp-sharded env batch, replicated learner): the
+  collective COUNT must be constant across mesh sizes (one gradient
+  all-reduce set, independent of how many devices share it), with
+  per-device FLOPs scaling as ~1/n.
+
+A program with those properties spends a constant, batch-independent amount
+of time in communication per step, which is what ≥90% weak scaling requires
+once the per-device batch is compute-bound. Collective overhead that grows
+with the mesh (e.g. accidental all-gathers of the env state) shows up here
+as a count that increases with n — the exact failure mode shard-shape
+invariance tests (tests/test_sharding.py) cannot see.
+
+Writes SCALING_PROXY.json at the repo root. Run:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python tools/scaling_proxy.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+MESH_SIZES = (1, 2, 4, 8)
+COLLECTIVE_OPS = (
+    "all-reduce",
+    "all-gather",
+    "reduce-scatter",
+    "collective-permute",
+    "all-to-all",
+)
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def count_collectives(hlo_text: str) -> dict[str, int]:
+    """Occurrences of each collective HLO op (start/done variants folded)."""
+    counts = {}
+    for op in COLLECTIVE_OPS:
+        # match `op` and `op-start` as instruction names, not substrings of
+        # metadata; HLO prints instructions as `%name = bf16[...] all-reduce(`
+        counts[op] = len(re.findall(rf"= \S+ {op}(?:-start)?\(", hlo_text))
+    return counts
+
+
+def _flops(compiled) -> float:
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost.get("flops", 0.0))
+
+
+def analyze_env_step(devices, num_envs_total: int) -> dict:
+    import jax
+
+    from gymnasium_tpu.envs.phys2d.cartpole import CartPoleFunctional
+    from gymnasium_tpu.vector.jax_vector_env import JaxVectorEnv
+
+    mesh = jax.sharding.Mesh(devices, ("dp",))
+    sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp"))
+    env = JaxVectorEnv(
+        CartPoleFunctional(),
+        num_envs=num_envs_total,
+        max_episode_steps=64,
+        seed=0,
+        sharding=sharding if len(devices) > 1 else None,
+    )
+    env.reset(seed=0)
+    actions = jax.device_put(
+        jax.numpy.zeros((num_envs_total,), jax.numpy.int32),
+        sharding if len(devices) > 1 else devices[0],
+    )
+    compiled = jax.jit(env._make_step()).lower(env.carry, actions).compile()
+    return {
+        "collectives": count_collectives(compiled.as_text()),
+        "flops_per_device": _flops(compiled),
+    }
+
+
+def analyze_ppo_step(devices, num_envs_total: int) -> dict:
+    import jax
+
+    from gymnasium_tpu.envs.phys2d.cartpole import CartPoleFunctional
+    from gymnasium_tpu.parallel import make_mesh, shard_ppo_state
+    from gymnasium_tpu.train.ppo import PPOConfig, init_ppo, make_train_step
+
+    mesh = make_mesh(devices, tp=1)
+    func_env = CartPoleFunctional()
+    config = PPOConfig(
+        num_envs=num_envs_total,
+        rollout_steps=8,
+        hidden_sizes=(32, 32),
+        num_minibatches=2,
+        update_epochs=1,
+        max_episode_steps=32,
+    )
+    state, env_params, tx = init_ppo(func_env, config, jax.random.PRNGKey(0))
+    state = shard_ppo_state(state, mesh)
+    train_step = jax.jit(make_train_step(func_env, config, env_params, tx))
+    ctx = (
+        jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else mesh
+    )
+    with ctx:
+        compiled = train_step.lower(state).compile()
+    return {
+        "collectives": count_collectives(compiled.as_text()),
+        "flops_per_device": _flops(compiled),
+    }
+
+
+def build_report(num_envs_total: int = 64) -> dict:
+    import jax
+
+    cpu = jax.devices("cpu")
+    assert len(cpu) >= max(MESH_SIZES), (
+        f"need {max(MESH_SIZES)} virtual devices, found {len(cpu)}; set "
+        "XLA_FLAGS=--xla_force_host_platform_device_count=8"
+    )
+    report: dict = {
+        "num_envs_total": num_envs_total,
+        "mesh_sizes": list(MESH_SIZES),
+        "env_step": {},
+        "ppo_train_step": {},
+    }
+    for n in MESH_SIZES:
+        devs = cpu[:n]
+        report["env_step"][str(n)] = analyze_env_step(devs, num_envs_total)
+        report["ppo_train_step"][str(n)] = analyze_ppo_step(devs, num_envs_total)
+    return report
+
+
+def check_report(report: dict) -> list[str]:
+    """Invariants the proxy asserts; returns a list of violations."""
+    problems = []
+    env = report["env_step"]
+    for n, entry in env.items():
+        total = sum(entry["collectives"].values())
+        if total != 0:
+            problems.append(f"env_step at mesh={n}: {total} collectives (want 0)")
+    ppo = report["ppo_train_step"]
+    multi = {n: e for n, e in ppo.items() if int(n) > 1}
+    counts = {n: sum(e["collectives"].values()) for n, e in multi.items()}
+    if len(set(counts.values())) > 1:
+        problems.append(f"ppo_train_step collective count varies with mesh: {counts}")
+    # per-device flops must fall as the mesh grows (weak-scaling headroom);
+    # CartPole steps are tiny, so allow generous constant overhead
+    for section in ("env_step", "ppo_train_step"):
+        f1 = report[section]["1"]["flops_per_device"]
+        f8 = report[section][str(max(report["mesh_sizes"]))]["flops_per_device"]
+        if f1 > 0 and not f8 <= 0.55 * f1:
+            problems.append(
+                f"{section}: per-device flops do not shrink with the mesh "
+                f"(1 dev: {f1:.0f}, {max(report['mesh_sizes'])} dev: {f8:.0f})"
+            )
+    return problems
+
+
+def main() -> int:
+    report = build_report()
+    problems = check_report(report)
+    report["ok"] = not problems
+    report["problems"] = problems
+    out = os.path.join(ROOT, "SCALING_PROXY.json")
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps({"ok": report["ok"], "problems": problems}))
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
