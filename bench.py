@@ -199,6 +199,15 @@ def _run_child(mode: str, timeout_s: float):
     env = dict(os.environ)
     if mode.startswith("cpu"):
         env["JAX_PLATFORMS"] = "cpu"
+        # Scrub plugin-injected vars (PJRT_LIBRARY_PATH & co. make a child
+        # initialize the TPU tunnel backend despite JAX_PLATFORMS=cpu — and
+        # hang when the tunnel is down, which is exactly when the CPU
+        # fallback matters).
+        for key in list(env):
+            if key in ("PJRT_LIBRARY_PATH", "_AXON_REGISTERED") or key.startswith(
+                ("TPU_", "AXON_", "PALLAS_AXON_")
+            ):
+                del env[key]
     start = time.perf_counter()
     try:
         proc = subprocess.run(

@@ -89,6 +89,15 @@ def _run_reference(paths: list[str], timeout: int = 1200) -> None:
     workers = int(os.environ.get("PYTEST_XDIST_WORKER_COUNT", "1") or "1")
     timeout = timeout * max(1, workers)
     env = dict(os.environ)
+    # Importing jax in THIS process makes the TPU-tunnel plugin inject
+    # PJRT_LIBRARY_PATH/_AXON_REGISTERED/TPU_* into os.environ; a child
+    # inheriting them initializes the tunnel backend even with
+    # JAX_PLATFORMS=cpu — and hangs in init when the tunnel is down.
+    for key in list(env):
+        if key in ("PJRT_LIBRARY_PATH", "_AXON_REGISTERED") or key.startswith(
+            ("TPU_", "AXON_", "PALLAS_AXON_")
+        ):
+            del env[key]
     env["PYTHONPATH"] = os.pathsep.join(
         [os.path.join(REPO, "tools"), REPO] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
     )
