@@ -66,7 +66,7 @@ class FunctionalJaxEnv(gym.Env):
         self.state = self._initial(k_init, self.params)
         obs = self._observation(self.state, k_obs, self.params)
         info = self.func_env.state_info(self.state, self.params)
-        return obs, info
+        return self._obs_to_host(obs), info
 
     def step(self, action):
         assert self.state is not None, "Call reset before using step method."
@@ -78,7 +78,17 @@ class FunctionalJaxEnv(gym.Env):
         terminated = self._terminal(next_state, k_term, self.params)
         info = self.func_env.transition_info(self.state, action, next_state, self.params)
         self.state = next_state
-        return observation, float(reward), bool(terminated), False, info
+        return self._obs_to_host(observation), float(reward), bool(terminated), False, info
+
+    def _obs_to_host(self, obs):
+        """Match the single-env host contract for scalar spaces: a Discrete
+        observation is a python-int-like ``np.int64`` (as the toy-text hosts
+        return), not a 0-d device array (the reference sidesteps this by
+        giving its tabular envs ``Box (1,)`` spaces + ``disable_env_checker``,
+        envs/__init__.py:208-211; we keep ``Discrete`` and convert here)."""
+        if isinstance(self.observation_space, gym.spaces.Discrete):
+            return np.int64(obs)
+        return obs
 
     def render(self):
         if self.render_mode == "rgb_array":
