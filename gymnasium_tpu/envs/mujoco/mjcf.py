@@ -218,10 +218,15 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
     option = root.find("option")
     gravity = -9.81
     timestep = 0.002
+    fluid_density = 0.0
+    fluid_viscosity = 0.0
     if option is not None:
         gvec = _parse_vec(option.get("gravity"), [0, 0, -9.81])
         gravity = float(gvec[2])
         timestep = float(option.get("timestep", 0.002))
+        # surrounding medium (swimmer.xml: density=4000 viscosity=0.1)
+        fluid_density = float(option.get("density", 0.0))
+        fluid_viscosity = float(option.get("viscosity", 0.0))
 
     defaults = _Defaults()
     defaults.load(root)
@@ -452,6 +457,8 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
         act_ctrlrange=np.array(act_ctrlrange) if act_ctrlrange else np.zeros((0, 2)),
         gravity=gravity,
         timestep=timestep,
+        fluid_density=fluid_density,
+        fluid_viscosity=fluid_viscosity,
         ground_z=ground_z,
         root_free=(
             bool(dofs) and dofs[0]["name"] == dofs[5]["name"] if len(dofs) >= 6 else False

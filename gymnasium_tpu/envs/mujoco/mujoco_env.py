@@ -69,6 +69,8 @@ def load_model(name: str) -> tuple[ArticulatedModel, dict]:
         act_ctrlrange=data["act_ctrlrange"],
         gravity=float(data["gravity"]),
         timestep=float(data["timestep"]),
+        fluid_density=float(data["fluid_density"]) if "fluid_density" in data else 0.0,
+        fluid_viscosity=float(data["fluid_viscosity"]) if "fluid_viscosity" in data else 0.0,
         ground_z=float(data["ground_z"]) if "ground_z" in data else 0.0,
         root_free=bool(meta.get("free_root", False)),
     )

@@ -21,38 +21,84 @@ from gymnasium_tpu.utils.ezpickle import EzPickle
 
 __all__ = ["SwimmerEnv", "SwimmerFunctional"]
 
-# anisotropic drag: strong perpendicular to each link, weak along it
-_DRAG_PERP = 15.0
-_DRAG_PAR = 0.3
-
-
 @functools.lru_cache(maxsize=2)
 def _swimmer_step(frame_skip: int):
-    """Jitted swimmer step with anisotropic link drag added to the engine."""
+    """Jitted swimmer step with MuJoCo's inertia-box fluid forces.
+
+    The medium (swimmer.xml ``<option density="4000" viscosity="0.1">``)
+    exerts, per body, the forces of MuJoCo's inertia-box fluid model
+    (docs "Passive forces"): each body is replaced by the equivalent-inertia
+    box with full side lengths ``d_i = sqrt(6 (I_j + I_k - I_i) / m)``; in
+    the principal frame the medium applies
+
+    - viscous (Stokes, equivalent-sphere diameter ``D = mean(d)``):
+      force ``-3 pi D mu v``, torque ``-pi D^3 mu omega``;
+    - quadratic density drag: force ``-1/2 rho d_j d_k |v_i| v_i``,
+      torque ``-rho d_i (d_j^4 + d_k^4) |w_i| w_i / 64``.
+
+    The anisotropy that propels a swimmer (slender boxes have far more
+    broadside area than end-on) emerges from the inertia geometry instead
+    of hand-tuned drag coefficients.
+    """
     import jax
     import jax.numpy as jnp
 
     model, _ = load_model("swimmer")
     dyn = make_dynamics(model)
-    masses = jnp.asarray(model.bodies.mass)
+
+    rho = float(model.fluid_density)
+    mu = float(model.fluid_viscosity)
+    mass = np.maximum(np.asarray(model.bodies.mass, np.float64), 1e-12)
+    evals, evecs = np.linalg.eigh(np.asarray(model.bodies.inertia, np.float64))
+    # full box side lengths per principal axis: (B, 3)
+    d_box = np.sqrt(
+        np.maximum(1e-12, (evals.sum(-1, keepdims=True) - 2 * evals)) * 6.0 / mass[:, None]
+    )
+    diam = jnp.asarray(d_box.mean(-1))  # equivalent-sphere diameter (B,)
+    area = jnp.asarray(d_box.prod(-1, keepdims=True) / d_box)  # d_j*d_k (B, 3)
+    d4 = d_box**4
+    tdrag = jnp.asarray(d_box * (d4.sum(-1, keepdims=True) - d4) / 64.0)  # (B, 3)
+    d_box = jnp.asarray(d_box)
+    evecs = jnp.asarray(evecs)  # columns: principal axes in the body frame
 
     def com_world(q):
         R, p = dyn["fk"](q)
         return p + jnp.einsum("bij,bj->bi", R, jnp.asarray(model.bodies.com)), R
 
+    def principal_velocities(q, qd):
+        """Per-body COM linear and angular velocity in the principal frame
+        (MuJoCo's local object velocity); linear in ``qd``."""
+        (_, R), (pc_dot, R_dot) = jax.jvp(com_world, (q,), (qd,))
+        # world angular velocity: unskew(R_dot R^T)
+        W = jnp.einsum("bij,bkj->bik", R_dot, R)
+        w_world = (
+            jnp.stack(
+                [W[:, 2, 1] - W[:, 1, 2], W[:, 0, 2] - W[:, 2, 0], W[:, 1, 0] - W[:, 0, 1]],
+                axis=-1,
+            )
+            / 2.0
+        )
+        axes = jnp.einsum("bij,bjk->bik", R, evecs)  # principal axes in world
+        v_p = jnp.einsum("bik,bi->bk", axes, pc_dot)
+        w_p = jnp.einsum("bik,bi->bk", axes, w_world)
+        return v_p, w_p
+
     def drag_torques(q, qd):
-        # body com velocities and link axes via jvp of FK
-        (pc, R), (pc_dot, _) = jax.jvp(com_world, (q,), (qd,))
-        axes = R[:, :, 0]  # links extend along local x
-        v_par = jnp.sum(pc_dot * axes, axis=-1, keepdims=True) * axes
-        v_perp = pc_dot - v_par
-        force = -_DRAG_PERP * v_perp - _DRAG_PAR * v_par
+        v_p, w_p = principal_velocities(q, qd)
+        force = jnp.zeros_like(v_p)
+        torque = jnp.zeros_like(w_p)
+        if mu > 0:
+            force = force - 3.0 * jnp.pi * mu * diam[:, None] * v_p
+            torque = torque - jnp.pi * mu * (diam**3)[:, None] * w_p
+        if rho > 0:
+            force = force - 0.5 * rho * area * jnp.abs(v_p) * v_p
+            torque = torque - rho * tdrag * jnp.abs(w_p) * w_p
 
         def power(qd_):
-            _, (pc_dot_, _) = jax.jvp(com_world, (q,), (qd_,))
-            return jnp.sum(pc_dot_ * force)
+            v_, w_ = principal_velocities(q, qd_)
+            return jnp.sum(v_ * force) + jnp.sum(w_ * torque)
 
-        # generalized force = ∂(F·v)/∂qd
+        # generalized force = ∂(F·v + τ·ω)/∂qd with the wrench held fixed
         return jax.grad(power)(qd)
 
     def step(q, qd, ctrl):

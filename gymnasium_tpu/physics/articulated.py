@@ -95,6 +95,10 @@ class ArticulatedModel(NamedTuple):
     act_ctrlrange: np.ndarray
     gravity: float = -9.81
     timestep: float = 0.002
+    # surrounding-medium properties (MuJoCo <option density viscosity>,
+    # swimmer.xml:3); zero disables the fluid-force pass
+    fluid_density: float = 0.0
+    fluid_viscosity: float = 0.0
     # ground contact material
     contact_stiffness: float = 10000.0
     contact_damping: float = 100.0

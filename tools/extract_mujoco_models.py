@@ -77,6 +77,8 @@ def main() -> None:
             "act_ctrlrange": model.act_ctrlrange,
             "gravity": np.float64(model.gravity),
             "timestep": np.float64(model.timestep),
+            "fluid_density": np.float64(model.fluid_density),
+            "fluid_viscosity": np.float64(model.fluid_viscosity),
             "ground_z": np.float64(model.ground_z),
             "meta_json": np.bytes_(json.dumps(meta).encode()),
         }
