@@ -339,20 +339,27 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
                     )
                 contype = attrs.get("contype", "1")
                 if contype != "0" and gtype in ("capsule", "sphere", "box", "cylinder", "ellipsoid"):
+                    # MuJoCo activates contact force while the surfaces are
+                    # still `margin_geom + margin_floor` apart (includemargin;
+                    # ant.xml margin=0.01 makes feet effectively 2 cm larger
+                    # — it settles visibly taller because of it). The sphere
+                    # radius is inflated by the pair margin after the floor
+                    # is parsed below.
+                    gmargin = float(attrs.get("margin", 0.0))
                     if gtype == "capsule" and length > 0:
                         z = R @ np.array([0.0, 0.0, 1.0])
                         half = length / 2
                         for frac in (-1.0, 0.0, 1.0):
-                            contact_spheres.append((body_idx, com + z * half * frac, r))
+                            contact_spheres.append((body_idx, com + z * half * frac, r, gmargin))
                     elif gtype == "box":
                         sx, sy, sz = _parse_vec(attrs.get("size"), [r, r, r])[:3]
                         for cx in (-sx, sx):
                             for cy in (-sy, sy):
                                 contact_spheres.append(
-                                    (body_idx, com + R @ np.array([cx, cy, -sz]), min(sx, sy, sz) * 0.5)
+                                    (body_idx, com + R @ np.array([cx, cy, -sz]), min(sx, sy, sz) * 0.5, gmargin)
                                 )
                     else:
-                        contact_spheres.append((body_idx, com.copy(), r))
+                        contact_spheres.append((body_idx, com.copy(), r, gmargin))
             elif child.tag == "inertial":
                 imass = float(child.get("mass", 0.0))
                 ipos = _parse_vec(child.get("pos"), [0, 0, 0])
@@ -386,13 +393,21 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
     # Ground plane height: the top-most collidable plane geom in the world.
     # Models without a floor (none in-tree) keep the engine's ground far away.
     ground_z = None
+    floor_margin = 0.0
     for geom in worldbody.findall("geom"):
         attrs = defaults.get("geom", geom, "")
         if attrs.get("type") == "plane" and attrs.get("contype", "1") != "0":
             z = float(_parse_vec(attrs.get("pos"), [0, 0, 0])[2])
-            ground_z = z if ground_z is None else max(ground_z, z)
+            if ground_z is None or z > ground_z:
+                ground_z = z
+                floor_margin = float(attrs.get("margin", 0.0))
     if ground_z is None:
         ground_z = -1e9
+    # inflate contact radii by the pair margin (geom + floor), mirroring
+    # MuJoCo's includemargin force-onset distance
+    contact_spheres = [
+        (b, pos, r + gm + floor_margin, gm) for (b, pos, r, gm) in contact_spheres
+    ]
 
     # settotalmass: scale all masses/inertias to the target total
     if settotalmass is not None:

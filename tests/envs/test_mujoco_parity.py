@@ -207,6 +207,11 @@ RETURN_DISTRIBUTION_ROBOTS = [
 # engines after hundreds of steps of accumulated contact dynamics
 LONG_HORIZON = {"HalfCheetah-v5": 500, "Hopper-v5": 500, "Walker2d-v5": 500, "Ant-v5": 500}
 
+# Per-robot gate overrides for documented divergences; empty since the
+# round-3 margin fix (MuJoCo's includemargin force-onset inflates ant feet
+# by 2 cm) brought the last outlier, Ant, inside the tight gates.
+LOOSE_GATE: dict[str, tuple[float, float]] = {}
+
 
 def _record_parity(section: str, env_id: str, payload: dict) -> None:
     """Append slow-run evidence into PARITY_MUJOCO.json (reviewable artifact
@@ -262,13 +267,14 @@ def test_random_policy_return_distribution(env_id):
             "ks_pvalue": ks.pvalue,
         },
     )
-    # location: means within 3 pooled standard errors OR 15% relative
-    assert mean_gap < 3.0 * pooled_se or rel_gap < 0.15, (
+    se_gate, ks_gate = LOOSE_GATE.get(env_id, (3.0, 0.01))
+    # location: means within the SE gate OR 15% relative
+    assert mean_gap < se_gate * pooled_se or rel_gap < 0.15, (
         f"{env_id}: return means diverge — ours {our_r.mean():.2f}±{our_r.std():.2f} "
         f"vs ref {ref_r.mean():.2f}±{ref_r.std():.2f}"
     )
     # shape: KS two-sample at a conventional significance floor
-    assert ks.pvalue > 0.01, (
+    assert ks.pvalue > ks_gate, (
         f"{env_id}: KS rejects return-distribution match (p={ks.pvalue:.2e}); "
         f"ours {np.sort(our_r)[:8]}... vs ref {np.sort(ref_r)[:8]}..."
     )
