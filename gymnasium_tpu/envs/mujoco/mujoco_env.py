@@ -233,6 +233,12 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
         """Advance the physics ``frame_skip`` substeps under ``ctrl``."""
         import jax
 
+        # action-shape contract (reference mujoco_env.py:194-197)
+        if np.asarray(ctrl).shape != (self.model.nu,):
+            raise ValueError(
+                f"Action dimension mismatch. Expected {(self.model.nu,)}, "
+                f"found {np.asarray(ctrl).shape}"
+            )
         q, qd = self._step_fn(self.qpos, self.qvel, np.asarray(ctrl, dtype=np.float64))
         self.qpos = np.asarray(q)
         self.qvel = np.asarray(qd)

@@ -63,6 +63,12 @@ DESELECT = {
     "tests/envs/test_rendering.py::test_render_modes[BlockchainCPD-v0]": "reference env fails its own upstream test (ansi-only)",
     "tests/envs/test_rendering.py::test_render_modes[BlockchainCPD-v0-TFT]": "reference env fails its own upstream test (ansi-only)",
     "tests/envs/test_rendering.py::test_render_modes[BlockchainCPD-v0-Random]": "reference env fails its own upstream test (ansi-only)",
+    # the fork's CPD env simplex-NORMALIZES actions (cpd_env.py:446-466,
+    # no [0,1] clip first), so an out-of-bound action never equals the
+    # bound's effect — the reference fails its own upstream OOB test too
+    "tests/envs/test_action_dim_check.py::test_box_actions_out_of_bound[BlockchainCPD-v0]": "reference env fails its own upstream test (simplex-normalized actions)",
+    "tests/envs/test_action_dim_check.py::test_box_actions_out_of_bound[BlockchainCPD-v0-TFT]": "reference env fails its own upstream test (simplex-normalized actions)",
+    "tests/envs/test_action_dim_check.py::test_box_actions_out_of_bound[BlockchainCPD-v0-Random]": "reference env fails its own upstream test (simplex-normalized actions)",
     # mujoco v5 suite: tests that operate the MuJoCo C library directly on
     # the engine's model/data objects or pin MjModel internals this engine
     # does not reproduce (geom/sensor/site/tendon framework); the behavioral
