@@ -59,16 +59,30 @@ def _flops(compiled) -> float:
     return float(cost.get("flops", 0.0))
 
 
-def analyze_env_step(devices, num_envs_total: int) -> dict:
+def analyze_env_step(devices, num_envs_total: int, family: str = "cartpole") -> dict:
     import jax
 
-    from gymnasium_tpu.envs.phys2d.cartpole import CartPoleFunctional
     from gymnasium_tpu.vector.jax_vector_env import JaxVectorEnv
+
+    if family == "articulated":
+        # the hardest env family: the full articulated-engine substep
+        # (FK/Jacobians/mass/bias/contacts/solve) under the same dp sharding
+        from gymnasium_tpu.envs.mujoco.half_cheetah import HalfCheetahFunctional
+
+        func_env = HalfCheetahFunctional()
+        act_dtype = jax.numpy.float32
+        act_shape = (num_envs_total, 6)
+    else:
+        from gymnasium_tpu.envs.phys2d.cartpole import CartPoleFunctional
+
+        func_env = CartPoleFunctional()
+        act_dtype = jax.numpy.int32
+        act_shape = (num_envs_total,)
 
     mesh = jax.sharding.Mesh(devices, ("dp",))
     sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp"))
     env = JaxVectorEnv(
-        CartPoleFunctional(),
+        func_env,
         num_envs=num_envs_total,
         max_episode_steps=64,
         seed=0,
@@ -76,7 +90,7 @@ def analyze_env_step(devices, num_envs_total: int) -> dict:
     )
     env.reset(seed=0)
     actions = jax.device_put(
-        jax.numpy.zeros((num_envs_total,), jax.numpy.int32),
+        jax.numpy.zeros(act_shape, act_dtype),
         sharding if len(devices) > 1 else devices[0],
     )
     compiled = jax.jit(env._make_step()).lower(env.carry, actions).compile()
@@ -129,11 +143,15 @@ def build_report(num_envs_total: int = 64) -> dict:
         "num_envs_total": num_envs_total,
         "mesh_sizes": list(MESH_SIZES),
         "env_step": {},
+        "articulated_env_step": {},
         "ppo_train_step": {},
     }
     for n in MESH_SIZES:
         devs = cpu[:n]
         report["env_step"][str(n)] = analyze_env_step(devs, num_envs_total)
+        report["articulated_env_step"][str(n)] = analyze_env_step(
+            devs, num_envs_total, family="articulated"
+        )
         report["ppo_train_step"][str(n)] = analyze_ppo_step(devs, num_envs_total)
     return report
 
@@ -141,11 +159,11 @@ def build_report(num_envs_total: int = 64) -> dict:
 def check_report(report: dict) -> list[str]:
     """Invariants the proxy asserts; returns a list of violations."""
     problems = []
-    env = report["env_step"]
-    for n, entry in env.items():
-        total = sum(entry["collectives"].values())
-        if total != 0:
-            problems.append(f"env_step at mesh={n}: {total} collectives (want 0)")
+    for section in ("env_step", "articulated_env_step"):
+        for n, entry in report.get(section, {}).items():
+            total = sum(entry["collectives"].values())
+            if total != 0:
+                problems.append(f"{section} at mesh={n}: {total} collectives (want 0)")
     ppo = report["ppo_train_step"]
     multi = {n: e for n, e in ppo.items() if int(n) > 1}
     counts = {n: sum(e["collectives"].values()) for n, e in multi.items()}
@@ -153,7 +171,7 @@ def check_report(report: dict) -> list[str]:
         problems.append(f"ppo_train_step collective count varies with mesh: {counts}")
     # per-device flops must fall as the mesh grows (weak-scaling headroom);
     # CartPole steps are tiny, so allow generous constant overhead
-    for section in ("env_step", "ppo_train_step"):
+    for section in ("env_step", "articulated_env_step", "ppo_train_step"):
         f1 = report[section]["1"]["flops_per_device"]
         f8 = report[section][str(max(report["mesh_sizes"]))]["flops_per_device"]
         if f1 > 0 and not f8 <= 0.55 * f1:
@@ -165,6 +183,17 @@ def check_report(report: dict) -> list[str]:
 
 
 def main() -> int:
+    # pin the CPU platform BEFORE any backend initialization: the TPU-tunnel
+    # plugin ignores the JAX_PLATFORMS env var for the default backend, and
+    # this proxy must work (and be cheap) with no TPU attached
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     report = build_report()
     problems = check_report(report)
     report["ok"] = not problems
