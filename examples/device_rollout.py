@@ -1,6 +1,15 @@
 """TPU-native path: the whole env batch lives on device; `rollout` runs an
 entire trajectory as one compiled scan (one dispatch, zero host round-trips)."""
 
+import os
+
+if os.environ.get("JAX_PLATFORMS"):
+    # honor an explicit platform request even where a TPU plugin overrides
+    # the env var for the default backend (e.g. JAX_PLATFORMS=cpu runs)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import time
 
 import jax

@@ -1,6 +1,15 @@
 """Device-resident PPO on CartPole: rollout, GAE, and clipped-surrogate
 updates all inside ONE jitted train step — no host/device round trips."""
 
+import os
+
+if os.environ.get("JAX_PLATFORMS"):
+    # honor an explicit platform request even where a TPU plugin overrides
+    # the env var for the default backend (e.g. JAX_PLATFORMS=cpu runs)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from gymnasium_tpu.envs.phys2d.cartpole import CartPoleFunctional
 from gymnasium_tpu.train.ppo import PPOConfig, train
 

@@ -8,6 +8,15 @@ touches the hot loop; `episode_stats_to_infos` converts the device episode
 statistics to the reference's info-dict format for logging.
 """
 
+import os
+
+if os.environ.get("JAX_PLATFORMS"):
+    # honor an explicit platform request even where a TPU plugin overrides
+    # the env var for the default backend (e.g. JAX_PLATFORMS=cpu runs)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax
 import numpy as np
 

@@ -1,5 +1,14 @@
 """Classic stateful API — drop-in for reference Gymnasium code."""
 
+import os
+
+if os.environ.get("JAX_PLATFORMS"):
+    # honor an explicit platform request even where a TPU plugin overrides
+    # the env var for the default backend (e.g. JAX_PLATFORMS=cpu runs)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import gymnasium_tpu as gym
 
 

@@ -6,6 +6,15 @@ Run on CPU with 8 virtual devices:
         python examples/sharded_rollout.py
 """
 
+import os
+
+if os.environ.get("JAX_PLATFORMS"):
+    # honor an explicit platform request even where a TPU plugin overrides
+    # the env var for the default backend (e.g. JAX_PLATFORMS=cpu runs)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax
 
 from gymnasium_tpu.envs.phys2d.cartpole import CartPoleFunctional
