@@ -201,6 +201,12 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
             "render_fps": int(np.round(1.0 / self.dt)),
         }
 
+        # renderer manager with per-mode viewers (overlays, live camera) —
+        # reference mujoco_env.py:97 exposes the same attribute
+        from gymnasium_tpu.envs.mujoco.rendering import MujocoRenderer
+
+        self.mujoco_renderer = MujocoRenderer(self)
+
     @property
     def dt(self) -> float:
         """Env step duration: model timestep × frame_skip."""
@@ -331,24 +337,7 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
                 "You are calling render method without specifying any render mode."
             )
             return None
-        if self.render_mode == "depth_array":
-            return self._render_frame(depth=True)
-        if self.render_mode == "rgbd_tuple":
-            return self._render_frame(), self._render_frame(depth=True)
-        frame = self._render_frame()
-        if self.render_mode == "human":
-            if self._display is None:
-                from gymnasium_tpu.utils.human_display import HumanDisplay
-
-                self._display = HumanDisplay(
-                    self.width,
-                    self.height,
-                    self.metadata["render_fps"],
-                    type(self).__name__,
-                )
-            self._display.show(frame)
-            return None
-        return frame
+        return self.mujoco_renderer.render(self.render_mode)
 
     def _render_frame(self, depth: bool = False) -> np.ndarray:
         """3D software-rasterized frame of the current state (render3d.py —
@@ -406,6 +395,8 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
         return canvas.rgb_array()
 
     def close(self):
+        if getattr(self, "mujoco_renderer", None) is not None:
+            self.mujoco_renderer.close()
         if self._display is not None:
             self._display.close()
             self._display = None

@@ -109,3 +109,40 @@ def test_record_video_on_mujoco(tmp_path):
     env.close()
     files = list(tmp_path.iterdir())
     assert files, "RecordVideo produced no output for a MuJoCo env"
+
+
+def test_mujoco_renderer_manager_surface():
+    """env.mujoco_renderer mirrors the reference's renderer manager
+    (mujoco_rendering.py:685): per-mode viewers, add_overlay, live cam."""
+    import gymnasium_tpu as gym
+    from gymnasium_tpu.envs.mujoco.rendering import GRID_TOPLEFT
+
+    env = gym.make("Ant-v5", render_mode="rgb_array").unwrapped
+    env.reset(seed=0)
+    renderer = env.mujoco_renderer
+    base = renderer.render("rgb_array")
+    assert base.shape == (480, 480, 3)
+
+    # overlays are drawn into the frame and cleared afterwards
+    viewer = renderer._get_viewer("rgb_array")
+    viewer.add_overlay(GRID_TOPLEFT, "Step", "123")
+    with_overlay = renderer.render("rgb_array")
+    try:
+        import pygame  # noqa: F401
+
+        assert (with_overlay != base).any(), "overlay text did not change the frame"
+    except ImportError:
+        pass
+    again = renderer.render("rgb_array")
+    assert (again == base).all(), "overlay queue must clear after one frame"
+
+    # live camera edits steer the tracking camera
+    viewer.cam.azimuth = 125.0
+    viewer.cam.elevation = -5.0
+    moved = renderer.render("rgb_array")
+    assert (moved != base).any(), "camera change did not alter the view"
+
+    # depth mode routes through the same manager
+    depth = renderer.render("depth_array")
+    assert depth.shape == (480, 480)
+    env.close()
