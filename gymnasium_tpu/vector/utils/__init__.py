@@ -8,28 +8,30 @@ from gymnasium_tpu.vector.utils.space_utils import (
     iterate,
 )
 
+# Lazy names and their home submodules: shared-memory and misc helpers drag
+# in multiprocessing, which the pure-device path never needs.
+_LAZY = {
+    "create_shared_memory": "shared_memory",
+    "read_from_shared_memory": "shared_memory",
+    "write_to_shared_memory": "shared_memory",
+    "CloudpickleWrapper": "misc",
+    "clear_mpi_env_vars": "misc",
+}
+
 __all__ = [
     "batch_space",
     "batch_differing_spaces",
     "iterate",
     "concatenate",
     "create_empty_array",
-    "create_shared_memory",
-    "read_from_shared_memory",
-    "write_to_shared_memory",
-    "CloudpickleWrapper",
-    "clear_mpi_env_vars",
+    *_LAZY,
 ]
 
 
 def __getattr__(name):
-    # Lazy: shared-memory and misc helpers import multiprocessing.
-    if name in ("create_shared_memory", "read_from_shared_memory", "write_to_shared_memory"):
-        from gymnasium_tpu.vector.utils import shared_memory
+    submodule = _LAZY.get(name)
+    if submodule is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
 
-        return getattr(shared_memory, name)
-    if name in ("CloudpickleWrapper", "clear_mpi_env_vars"):
-        from gymnasium_tpu.vector.utils import misc
-
-        return getattr(misc, name)
-    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    return getattr(importlib.import_module(f"{__name__}.{submodule}"), name)
