@@ -31,9 +31,45 @@ __all__ = ["MujocoEnv", "load_model", "expected_frame_skip"]
 _MODEL_DIR = os.path.join(os.path.dirname(__file__), "models")
 
 
+def _resolve_xml(name: str) -> str:
+    """Resolve an ``.xml`` model reference the way the reference's
+    ``expand_model_path`` does (mujoco_env.py:33-43): absolute and ``~``
+    paths as given, else cwd-relative, else the asset search path
+    (``MJCF_ASSET_DIR`` env var, then the package model dir)."""
+    path = os.path.expanduser(name)
+    if os.path.isabs(path) and os.path.exists(path):
+        return path
+    if os.path.exists(path):
+        return os.path.abspath(path)
+    for base in (os.environ.get("MJCF_ASSET_DIR"), _MODEL_DIR):
+        if base:
+            candidate = os.path.join(base, name)
+            if os.path.exists(candidate):
+                return os.path.abspath(candidate)
+    raise OSError(f"MJCF model file {name!r} does not exist")
+
+
 @functools.lru_cache(maxsize=32)
+def _compile_xml_model(path: str) -> tuple[ArticulatedModel, dict]:
+    from gymnasium_tpu.envs.mujoco.mjcf import compile_mjcf
+
+    return compile_mjcf(path)
+
+
 def load_model(name: str) -> tuple[ArticulatedModel, dict]:
-    """Load a compiled robot spec (see tools/extract_mujoco_models.py)."""
+    """Load a compiled robot spec (see tools/extract_mujoco_models.py), or —
+    for ``*.xml`` references — compile the MJCF on the fly through
+    gymnasium_tpu.envs.mujoco.mjcf, which is what lets third-party
+    ``MujocoEnv`` subclasses bring their own models (reference
+    tests/envs/mujoco/test_mujoco_custom_env.py)."""
+    if name.endswith(".xml"):
+        # resolve BEFORE caching: relative references are cwd-dependent
+        return _compile_xml_model(_resolve_xml(name))
+    return _load_npz_model(name)
+
+
+@functools.lru_cache(maxsize=32)
+def _load_npz_model(name: str) -> tuple[ArticulatedModel, dict]:
     path = os.path.join(_MODEL_DIR, f"{name}.npz")
     data = np.load(path)
     meta = json.loads(bytes(data["meta_json"]).decode())
@@ -157,6 +193,10 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
         visual_options: dict[int, bool] | None = None,
         **kwargs: Any,
     ):
+        if model_name.endswith(".xml"):
+            # pin relative/asset-dir references to their absolute path so
+            # the per-model jit caches key on one canonical name
+            model_name = _resolve_xml(model_name)
         self.model_name = model_name
         self.frame_skip = frame_skip
         self.model, self.meta = load_model(model_name)
@@ -246,8 +286,10 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
                 f"found {np.asarray(ctrl).shape}"
             )
         q, qd = self._step_fn(self.qpos, self.qvel, np.asarray(ctrl, dtype=np.float64))
-        self.qpos = np.asarray(q)
-        self.qvel = np.asarray(qd)
+        # host mirrors stay float64 like MuJoCo's MjData (third-party envs
+        # concatenate them directly into float64 observation spaces)
+        self.qpos = np.asarray(q, dtype=np.float64)
+        self.qvel = np.asarray(qd, dtype=np.float64)
 
     @property
     def cfrc_ext(self) -> np.ndarray:
@@ -300,11 +342,22 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
 
     def reset(self, *, seed: int | None = None, options: dict[str, Any] | None = None):
         super().reset(seed=seed)
-        self.qpos, self.qvel = self._sample_initial_state()
-        obs = self._get_obs()
+        obs = self.reset_model()
+        info = self._get_reset_info()
         if self.render_mode == "human":
             self.render()
-        return obs, self._reset_info()
+        return obs, info
+
+    def reset_model(self) -> np.ndarray:
+        """Set the post-reset physics state and return the observation —
+        the reference's third-party-subclass hook (mujoco_env.py:145-150);
+        the in-tree robots customize :meth:`_sample_initial_state` instead."""
+        self.qpos, self.qvel = self._sample_initial_state()
+        return self._get_obs()
+
+    def _get_reset_info(self) -> dict[str, Any]:
+        """Reset info hook under the reference's name (mujoco_env.py:152)."""
+        return self._reset_info()
 
     def _sample_initial_state(self) -> tuple[np.ndarray, np.ndarray]:
         # uniform qpos AND qvel noise — the reference's most common scheme

@@ -108,6 +108,9 @@ def _run_reference(paths: list[str], timeout: int = 1200) -> None:
         [os.path.join(REPO, "tools"), REPO] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
     )
     env["JAX_PLATFORMS"] = "cpu"
+    # third-party-model tests reference XML assets by bare name
+    # ("point.xml"); resolve them against the reference's asset tree
+    env["MJCF_ASSET_DIR"] = os.path.join(REFERENCE, "gymnasium", "envs", "mujoco", "assets")
     cmd = [
         sys.executable,
         "-m",
@@ -201,6 +204,16 @@ def test_reference_mujoco_v5_suite():
     behavioral identity, COM kinematics, reset determinism) against the
     articulated engine; engine-internal pins are deselected with reasons."""
     _run_reference(["tests/envs/mujoco/test_mujoco_v5.py"], timeout=1800)
+
+
+def test_reference_mujoco_custom_env_suite():
+    """Third-party MujocoEnv subclasses bringing their own MJCF: the
+    reference's custom-env suite (check_env conformance across frame_skips,
+    XML loading by bare name / relative path / absolute path, reset-info
+    hook) runs against the on-the-fly MJCF compiler path."""
+    _run_reference(
+        ["tests/envs/mujoco/test_mujoco_custom_env.py", "tests/envs/functional/test_core.py"]
+    )
 
 
 @pytest.mark.slow
