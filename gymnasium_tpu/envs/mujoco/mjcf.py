@@ -237,6 +237,7 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
     contact_spheres: list[tuple[int, np.ndarray, float]] = []
     joint_name_to_dofs: dict[str, list[int]] = {}
     body_name_to_idx: dict[str, int] = {}
+    cameras: list[dict] = []  # model-fixed cameras (camera_id render targets)
 
     def add_dof(body_idx, jtype, axis, anchor, attrs, name):
         limited_attr = attrs.get("limited", "false")
@@ -360,6 +361,21 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
                                 )
                     else:
                         contact_spheres.append((body_idx, com.copy(), r, gmargin))
+            elif child.tag == "camera":
+                # model-fixed camera (reference XMLs: the trackcom "track"
+                # camera); xyaxes gives the camera's x (right) and y (up)
+                # axes in the attachment frame, looking along -z
+                x_ax = _parse_vec(child.get("xyaxes"), [1, 0, 0, 0, 1, 0])
+                cameras.append(
+                    dict(
+                        name=child.get("name", f"camera{len(cameras)}"),
+                        mode=child.get("mode", "fixed"),
+                        body=body_idx,
+                        pos=[float(v) for v in _parse_vec(child.get("pos"), [0, 0, 0])],
+                        xaxis=[float(v) for v in x_ax[:3]],
+                        yaxis=[float(v) for v in x_ax[3:6]],
+                    )
+                )
             elif child.tag == "inertial":
                 imass = float(child.get("mass", 0.0))
                 ipos = _parse_vec(child.get("pos"), [0, 0, 0])
@@ -486,5 +502,6 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
         "free_root": bool(dofs) and dofs[0]["name"] == dofs[5]["name"] if len(dofs) >= 6 else False,
         "render_geoms": render_geoms,
         "has_floor": bool(ground_z is not None and np.isfinite(ground_z)),
+        "cameras": cameras,
     }
     return model, meta

@@ -26,7 +26,10 @@ from gymnasium_tpu.physics.articulated import (
     make_dynamics,
 )
 
-__all__ = ["MujocoEnv", "load_model", "expected_frame_skip"]
+__all__ = ["MujocoEnv", "load_model", "expected_frame_skip", "DEFAULT_SIZE"]
+
+# default render-surface side (reference mujoco_env.py:18)
+DEFAULT_SIZE = 480
 
 _MODEL_DIR = os.path.join(os.path.dirname(__file__), "models")
 

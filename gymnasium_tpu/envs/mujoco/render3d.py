@@ -221,6 +221,8 @@ class Scene:
         azimuth: float = 35.0,
         elevation: float = -25.0,
         return_depth: bool = False,
+        eye: np.ndarray | None = None,
+        cam_rows: np.ndarray | None = None,
     ) -> np.ndarray:
         """Rasterize one frame (H, W, 3) uint8; with ``return_depth`` also
         the (H, W) float32 camera-z buffer (sky clamped to the far plane)."""
@@ -237,26 +239,32 @@ class Scene:
         tris = np.concatenate(tri_v)
         colors = np.concatenate(tri_c)
 
-        # MuJoCo-style free camera tracking the root body
-        center = tris.reshape(-1, 3)
-        if lookat is None:
-            lookat = np.array(
-                [p_bodies[0, 0], p_bodies[0, 1], max(p_bodies[0, 2] * 0.6, 0.3)]
+        if eye is not None and cam_rows is not None:
+            # explicit camera frame (model-fixed cameras): rows are the
+            # world->camera basis with z = view direction, y = image-down
+            cam = np.asarray(cam_rows, float)
+            eye = np.asarray(eye, float)
+        else:
+            # MuJoCo-style free camera tracking the root body
+            center = tris.reshape(-1, 3)
+            if lookat is None:
+                lookat = np.array(
+                    [p_bodies[0, 0], p_bodies[0, 1], max(p_bodies[0, 2] * 0.6, 0.3)]
+                )
+            if distance is None:
+                extent = max(float(np.ptp(center, axis=0).max()), 0.5)
+                distance = 2.2 * extent
+            az, el = math.radians(azimuth), math.radians(elevation)
+            forward = np.array(
+                [math.cos(el) * math.cos(az), math.cos(el) * math.sin(az), math.sin(el)]
             )
-        if distance is None:
-            extent = max(float(np.ptp(center, axis=0).max()), 0.5)
-            distance = 2.2 * extent
-        az, el = math.radians(azimuth), math.radians(elevation)
-        forward = np.array(
-            [math.cos(el) * math.cos(az), math.cos(el) * math.sin(az), math.sin(el)]
-        )
-        eye = lookat - distance * forward
-        up = np.array([0.0, 0.0, 1.0])
-        zc = forward / np.linalg.norm(forward)  # camera looks along +z
-        xc = np.cross(zc, up)
-        xc /= np.linalg.norm(xc) + 1e-12
-        yc = np.cross(zc, xc)
-        cam = np.stack([xc, yc, zc])  # world -> camera rows
+            eye = lookat - distance * forward
+            up = np.array([0.0, 0.0, 1.0])
+            zc = forward / np.linalg.norm(forward)  # camera looks along +z
+            xc = np.cross(zc, up)
+            xc /= np.linalg.norm(xc) + 1e-12
+            yc = np.cross(zc, xc)
+            cam = np.stack([xc, yc, zc])  # world -> camera rows
 
         def project(points: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             """(N,3) world -> (N,2) pixel + (N,) depth."""
@@ -373,6 +381,48 @@ class Scene:
         zbuf[hit] = t[hit]
 
 
+def _fixed_camera_spec(env) -> dict | None:
+    """The model camera selected by ``camera_id``/``camera_name`` (reference
+    mujoco_env.py:46-113 semantics: id -1 / no selection = the free tracking
+    camera; id >= 0 / a name = the model's fixed cameras)."""
+    cams = env.meta.get("cameras") or []
+    if env.camera_name is not None:
+        for cam in cams:
+            if cam["name"] == env.camera_name:
+                return cam
+        return None
+    cid = env.camera_id
+    if cid is None or int(cid) < 0 or int(cid) >= len(cams):
+        return None
+    return cams[int(cid)]
+
+
+def _fixed_camera_frame(env, spec: dict, R: np.ndarray, p: np.ndarray):
+    """(eye, world->camera rows) for a model-fixed camera at the current
+    pose. ``trackcom`` keeps the model orientation and parks the camera at
+    subtree-COM + offset (MuJoCo semantics); ``fixed`` rides its body."""
+    x = np.asarray(spec["xaxis"], float)
+    y = np.asarray(spec["yaxis"], float)
+    body = int(spec["body"])
+    pos = np.asarray(spec["pos"], float)
+    if spec.get("mode") == "trackcom":
+        masses = np.asarray(env.model.bodies.mass, float)
+        com_body = np.asarray(env.model.bodies.com, float)
+        com_w = p + np.einsum("bij,bj->bi", R, com_body)
+        anchor = (masses[:, None] * com_w).sum(0) / masses.sum()
+        eye = anchor + pos
+    else:
+        Rb = R[body] if body >= 0 else np.eye(3)
+        origin = p[body] if body >= 0 else np.zeros(3)
+        eye = origin + Rb @ pos
+        x, y = Rb @ x, Rb @ y
+    x = x / (np.linalg.norm(x) + 1e-12)
+    y = y / (np.linalg.norm(y) + 1e-12)
+    z = np.cross(x, y)  # MuJoCo cameras look along -z, image-up is +y
+    cam_rows = np.stack([x, -y, -z])  # projector: z = view dir, y = image-down
+    return eye, cam_rows
+
+
 def render_robot(
     env,
     width: int = 480,
@@ -392,6 +442,7 @@ def render_robot(
         scene = Scene(env.meta, width, height)
         env._render3d_scene = scene
     R, p = env._dyn["fk"](env.qpos)
+    R, p = np.asarray(R), np.asarray(p)
     cfg = camera_config or {}
     kwargs = dict(
         ground_z=float(env.model.ground_z),
@@ -402,7 +453,10 @@ def render_robot(
         kwargs["azimuth"] = float(cfg["azimuth"])
     if "elevation" in cfg:
         kwargs["elevation"] = float(cfg["elevation"])
-    out = scene.render(np.asarray(R), np.asarray(p), return_depth=depth, **kwargs)
+    spec = _fixed_camera_spec(env)
+    if spec is not None:
+        kwargs["eye"], kwargs["cam_rows"] = _fixed_camera_frame(env, spec, R, p)
+    out = scene.render(R, p, return_depth=depth, **kwargs)
     if depth:
         return out[1]
     return out

@@ -163,6 +163,19 @@ class MujocoRenderer:
     def default_cam_config(self) -> dict:
         return self._env._camera_config
 
+    @property
+    def camera_id(self) -> int:
+        """Resolved camera id: -1 = the free tracking camera; >= 0 indexes
+        the model's fixed cameras (reference mujoco_rendering.py camera
+        resolution semantics)."""
+        env = self._env
+        if env.camera_name is not None:
+            for i, cam in enumerate(env.meta.get("cameras") or []):
+                if cam["name"] == env.camera_name:
+                    return i
+            return -1
+        return -1 if env.camera_id is None else int(env.camera_id)
+
     def close(self) -> None:
         for viewer in self._viewers.values():
             viewer.close()

@@ -85,6 +85,12 @@ DESELECT = {
     "tests/envs/mujoco/test_mujoco_v5.py::test_model_sensors[v5]": "MuJoCo sensor framework is not modeled",
     "tests/envs/mujoco/test_mujoco_v5.py::test_inverted_double_pendulum_max_height[v5]": "reads data.site_xpos (sites not modeled)",
     "tests/envs/mujoco/test_mujoco_v5.py::test_inverted_double_pendulum_max_height_old[v4]": "reads data.site_xpos (sites not modeled)",
+    # rendering tests whose fixtures construct raw mujoco.MjModel/MjData and
+    # drive the OpenGL OffScreenViewer on them; the env-level remainder of
+    # the file (metadata modes, camera_id selection, rgbd composition) runs
+    "tests/envs/mujoco/test_mujoco_rendering.py::test_offscreen_viewer_custom_dimensions": "constructs raw MjModel/MjData for the OpenGL viewer",
+    "tests/envs/mujoco/test_mujoco_rendering.py::test_max_geom_attribute": "constructs raw MjModel/MjData for the OpenGL viewer",
+    "tests/envs/mujoco/test_mujoco_rendering.py::test_add_markers": "constructs raw MjModel/MjData for the OpenGL viewer",
 }
 
 
@@ -212,7 +218,11 @@ def test_reference_mujoco_custom_env_suite():
     XML loading by bare name / relative path / absolute path, reset-info
     hook) runs against the on-the-fly MJCF compiler path."""
     _run_reference(
-        ["tests/envs/mujoco/test_mujoco_custom_env.py", "tests/envs/functional/test_core.py"]
+        [
+            "tests/envs/mujoco/test_mujoco_custom_env.py",
+            "tests/envs/mujoco/test_mujoco_rendering.py",
+            "tests/envs/functional/test_core.py",
+        ]
     )
 
 
