@@ -85,6 +85,11 @@ DESELECT = {
     "tests/envs/mujoco/test_mujoco_v5.py::test_model_sensors[v5]": "MuJoCo sensor framework is not modeled",
     "tests/envs/mujoco/test_mujoco_v5.py::test_inverted_double_pendulum_max_height[v5]": "reads data.site_xpos (sites not modeled)",
     "tests/envs/mujoco/test_mujoco_v5.py::test_inverted_double_pendulum_max_height_old[v4]": "reads data.site_xpos (sites not modeled)",
+    # unseeded random policy: episode boundaries vs the step-100 trigger
+    # vary per run and the count assertion sometimes misses — the test body
+    # carries a TODO acknowledging it (openai/gym#3054); observed flaking
+    # ~1/5 full-suite runs with the reference's own semantics
+    "tests/utils/test_save_video.py::test_record_video_within_vector": "upstream-flaky (unseeded; gym#3054 TODO in the test body)",
     # rendering tests whose fixtures construct raw mujoco.MjModel/MjData and
     # drive the OpenGL OffScreenViewer on them; the env-level remainder of
     # the file (metadata modes, camera_id selection, rgbd composition) runs
