@@ -1,21 +1,33 @@
-"""Headline benchmark: CartPole-v1 throughput, 4096 vectorized envs,
-random policy, full trajectory materialization (obs/reward/term/trunc
-written to HBM every step — learner-usable rollouts, not bare stepping).
+"""Benchmarks for every BASELINE.json config family, driver-captured.
 
-Uses the fused Pallas rollout kernel (gymnasium_tpu/ops/pallas_rollout.py)
-when a TPU is present, falling back to the jit(lax.scan) path otherwise.
-Blocks on EVERY output so the number is honest (no in-flight work excluded).
+Emits one JSON line per configuration — FrozenLake-8x8, Taxi, Pendulum,
+MountainCarContinuous, LunarLander, HalfCheetah, Ant, CarRacing — followed
+by the CartPole-v1 headline (4096 vectorized envs, random policy, full
+trajectory materialization: obs/reward/term/trunc written to HBM every
+step). The headline is printed LAST so single-line consumers keep parsing
+the same metric as previous rounds.
 
-Prints ONE JSON line (last): {"metric", "value", "unit", "vs_baseline"}
-where vs_baseline is measured steps/s divided by the 50M steps/s/chip
-north-star target (BASELINE.md).
+CartPole uses the fused Pallas rollout kernel
+(gymnasium_tpu/ops/pallas_rollout.py) when a TPU is present; the MuJoCo
+robots use the fused Pallas articulated substep
+(gymnasium_tpu/ops/pallas_articulated.py, auto-engaged on TPU at
+block-multiple batch sizes); everything else is the jit(lax.scan) rollout.
+Blocks on EVERY output so the numbers are honest (no in-flight work
+excluded — see docs/BENCHMARKS.md for the difference-quotient methodology).
+
+Line format: {"metric", "value", "unit", "vs_baseline"} where vs_baseline
+is measured steps/s divided by the 50M steps/s/chip north-star target
+(BASELINE.md; the reference publishes no per-family numbers, so the
+north-star is the common denominator).
 
 Robustness: the TPU backend behind the tunnel can come up UNAVAILABLE or
 hang indefinitely during init (observed both). The parent process therefore
 never touches JAX itself — all device work runs in child processes under
-hard timeouts. If the TPU child fails or hangs, the parent retries once,
-then falls back to a CPU child and emits the xla_scan metric flagged
-``"degraded": true`` instead of exiting non-zero.
+hard timeouts, and the family child streams its lines so a mid-list hang
+still yields every row measured before it. If the TPU headline child fails
+or hangs, the parent retries once, then falls back to a CPU child and emits
+the xla_scan metric flagged ``"degraded": true`` instead of exiting
+non-zero.
 """
 
 from __future__ import annotations
@@ -43,7 +55,24 @@ BASELINE_STEPS_PER_S = 50e6
 TPU_TIMEOUT_S = 900
 TPU_RETRY_TIMEOUT_S = 420
 CPU_TIMEOUT_S = 900
+FAMILIES_TIMEOUT_S = 1800  # 8 configs, each with its own jit compile
 FAST_FAILURE_S = 120  # a sub-2-min failure means flaky init, worth a retry
+
+# BASELINE.json config families beyond the CartPole headline. Each row:
+# (metric name, module, class, num_envs, steps per rollout, measure target s).
+# num_envs=4096 matches the headline scale; Ant/CarRacing use the sizes
+# documented in docs/BENCHMARKS.md (Ant also at 4096 = 4 Pallas blocks;
+# CarRacing is pixel-bound and benched at 1024).
+FAMILY_CASES = [
+    ("frozenlake8x8", "gymnasium_tpu.envs.tabular.frozen_lake", "FrozenLake8x8Functional", 4096, 512),
+    ("taxi_v3", "gymnasium_tpu.envs.tabular.taxi", "TaxiFunctional", 4096, 512),
+    ("pendulum_v1", "gymnasium_tpu.envs.phys2d.pendulum", "PendulumFunctional", 4096, 512),
+    ("mountaincar_continuous_v0", "gymnasium_tpu.envs.phys2d.mountain_car", "ContinuousMountainCarFunctional", 4096, 512),
+    ("lunarlander_v3", "gymnasium_tpu.envs.box2d.lunar_lander", "LunarLanderFunctional", 4096, 200),
+    ("halfcheetah_v5", "gymnasium_tpu.envs.mujoco.half_cheetah", "HalfCheetahFunctional", 4096, 100),
+    ("ant_v5", "gymnasium_tpu.envs.mujoco.ant", "AntFunctional", 4096, 100),
+    ("carracing_v3", "gymnasium_tpu.envs.box2d.car_racing_functional", "CarRacingFunctional", 1024, 100),
+]
 
 
 # --------------------------------------------------------------------------
@@ -141,9 +170,9 @@ def _measure(run, steps_per_block=STEPS_PER_BLOCK, target_s: float = 30.0):
     return extra_steps / max(t_large - t_small, 1e-9)
 
 
-def _emit(path, steps_per_s, degraded=False):
+def _emit(path, steps_per_s, degraded=False, metric=None):
     record = {
-        "metric": f"cartpole_v1_env_steps_per_s_4096envs_random_policy_{path}",
+        "metric": metric or f"cartpole_v1_env_steps_per_s_4096envs_random_policy_{path}",
         "value": round(steps_per_s),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
@@ -151,6 +180,59 @@ def _emit(path, steps_per_s, degraded=False):
     if degraded:
         record["degraded"] = True
     print(json.dumps(record), flush=True)
+
+
+def _bench_families(jax) -> None:
+    """One difference-quotient throughput row per BASELINE config family.
+
+    Each row is emitted (flushed) as soon as it is measured so a hang later
+    in the list cannot lose it; failures degrade to a value-0 row rather
+    than aborting the remainder.
+    """
+    import importlib
+    import statistics
+
+    import jax.numpy as jnp
+
+    from gymnasium_tpu.vector.jax_vector_env import JaxVectorEnv
+
+    backend = jax.default_backend()
+
+    @jax.jit
+    def reduce_traj(reward):
+        return jnp.sum(reward[-1])
+
+    for name, module, cls_name, n, steps in FAMILY_CASES:
+        metric = f"{name}_env_steps_per_s_{n}envs_random_policy_{backend}"
+        try:
+            cls = getattr(importlib.import_module(module), cls_name)
+            env = JaxVectorEnv(cls(), num_envs=n, max_episode_steps=1000, seed=0)
+            env.reset()
+
+            def timed(repeats, trials=4):
+                # repeats carry-chained rollouts ended by ONE host-read of a
+                # jitted reduction: block_until_ready through the axon tunnel
+                # can return before the device is done, the host-read forces
+                # true completion, and timing two repeat counts cancels its
+                # ~35 ms constant in the difference quotient.
+                times = []
+                for _ in range(trials + 1):
+                    t0 = time.perf_counter()
+                    c = env.carry
+                    for _ in range(repeats):
+                        c, traj = env.rollout(steps, carry=c, unroll=1)
+                    float(reduce_traj(traj.reward))
+                    times.append(time.perf_counter() - t0)
+                return statistics.median(sorted(times[1:]))
+
+            carry, traj = env.rollout(steps, unroll=1)
+            float(reduce_traj(traj.reward))  # warmup + compile
+            t1, t4 = timed(1), timed(4)
+            rate = 3 * n * steps / max(t4 - t1, 1e-9)
+            _emit(name, rate, metric=metric)
+        except Exception as exc:  # keep the list going; a 0 row is honest
+            print(f"bench: family {name} failed: {exc!r}", file=sys.stderr)
+            _emit(name, 0.0, degraded=True, metric=metric)
 
 
 def _child(mode: str) -> None:
@@ -165,13 +247,15 @@ def _child(mode: str) -> None:
     import jax.numpy as jnp
 
     backend = jax.default_backend()
-    if mode == "tpu" and backend in ("cpu", "gpu"):
+    if mode in ("tpu", "families") and backend in ("cpu", "gpu"):
         # asked for the accelerator path but only a host platform came up —
         # report failure so the parent falls back explicitly
         print(f"bench child: wanted TPU, default backend is {backend}", file=sys.stderr)
         raise SystemExit(3)
 
-    if mode == "tpu":
+    if mode == "families":
+        _bench_families(jax)
+    elif mode == "tpu":
         # Secondary metric first: bf16 trajectory observations (halves the
         # HBM write traffic of the obs stream). The headline f32 line is
         # printed LAST so single-line consumers pick it up.
@@ -224,6 +308,8 @@ def _run_child(mode: str, timeout_s: float):
             print(f"bench: child {mode} rc={rc}\n{tail}", file=sys.stderr)
     except subprocess.TimeoutExpired as exc:
         out, rc = (exc.stdout or ""), -1
+        if isinstance(out, bytes):  # TimeoutExpired carries bytes even in text mode
+            out = out.decode(errors="replace")
         print(f"bench: child {mode} timed out after {timeout_s}s", file=sys.stderr)
     elapsed = time.perf_counter() - start
     lines = []
@@ -245,6 +331,15 @@ def main() -> None:
     force_cpu = "--cpu" in sys.argv[1:] or os.environ.get("JAX_PLATFORMS", "") == "cpu"
 
     if not force_cpu:
+        # BASELINE config families first (their lines stream out as they are
+        # measured; a timeout keeps whatever was captured). The CartPole
+        # headline child runs last so its f32 line stays the final one.
+        fam_lines, _, fam_ok = _run_child("families", FAMILIES_TIMEOUT_S)
+        for line in fam_lines:
+            print(line, flush=True)
+        if not fam_ok and not fam_lines:
+            print("bench: family child produced no rows", file=sys.stderr)
+
         lines, elapsed, ok = _run_child("tpu", TPU_TIMEOUT_S)
         if not ok and elapsed < FAST_FAILURE_S:
             # flaky backend init, not a slow compile — one retry after a pause
