@@ -51,8 +51,11 @@ __all__ = ["CarRacingFunctional"]
 NUM_TILES = 384  # fixed track length (reference tracks: ~250-320 variable)
 CHECKPOINTS = 12
 TILE_CHUNK = 96  # rasterizer min-reduction chunk (host-parity path)
-RASTER_TILES = 96  # nearest-to-car tiles eligible for the device rasterizer
-RASTER_TILES_PER_BLOCK = 32  # nearest-to-block tiles actually swept per 8x16-px block
+# Compaction slots for tiles inside the view rectangle. Only tiles within
+# TRACK_WIDTH of the rotated 30x30 m view window can touch a pixel; over 512
+# random tracks x every along-track car position the in-rect count peaks at
+# 77 (mean 22, p99 55), so 96 slots hold every reachable tile with margin.
+RASTER_TILES = 96
 WHEEL_RAD = 27 * SIZE  # front/rear wheel radius (car_dynamics.py)
 
 
@@ -259,60 +262,61 @@ class CarRacingFunctional(FuncEnv):
 
         px = jnp.arange(STATE_W, dtype=jnp.float32)
         py = jnp.arange(STATE_H, dtype=jnp.float32)
-        vx = (px[None, :] - STATE_W / 2) / ppm  # (1, W)
-        vy = (STATE_H * 0.75 - py[:, None]) / ppm  # (H, 1)
+        vxg = (px - STATE_W / 2) / ppm  # (W,) fixed view-frame pixel grid
+        vyg = (STATE_H * 0.75 - py) / ppm  # (H,)
+        vx = vxg[None, :]
+        vy = vyg[:, None]
         ca, sa = jnp.cos(angle), jnp.sin(angle)
-        wx = cx + vx * ca - vy * sa  # (H, W) world coords per pixel
+        wx = cx + vx * ca - vy * sa  # (H, W) world coords (checker/overlays)
         wy = cy + vx * sa + vy * ca
 
-        # road mask: min distance to tile centers. Only tiles near the CAR
-        # can reach a visible pixel (view radius ~27 m + road half-width),
-        # so select the K nearest tiles once per step (one tiny top-k) and
-        # rasterize against those — 4x less arithmetic than sweeping all
-        # NUM_TILES, computed as exact f32 squared distances on the VPU
-        # (the previous all-tiles MXU matmul needed 6-pass HIGHEST
-        # precision, another ~6x). Exactness: any excluded tile is farther
-        # from the car than the Kth-nearest, and K tiles span far more
-        # track length than can thread through the visible window.
+        # Road mask: is any tile center within TRACK_WIDTH of the pixel?
+        # Computed in the CAR frame, where the pixel grid is fixed and
+        # axis-aligned, so the squared distance SEPARATES:
+        #   d2[r, c, k] = (vyg[r] - ty[k])^2 + (vxg[c] - tx[k])^2
+        # and road[r, c] = any_k((vxg[c]-tx[k])^2 <= T^2 - (vyg[r]-ty[k])^2)
+        # — ONE compare + OR per pixel-tile pair against two tiny
+        # precomputed (K, W)/(K, H) tables, instead of rotating 9216 pixels
+        # into world space and paying sub/sub/mul/fma/min per pair.  Tiles
+        # are culled to the view rectangle (only those can touch a pixel)
+        # and compacted into RASTER_TILES slots without any sort or gather:
+        # slot index = count of selected tiles below k (an exact f32 matvec
+        # against a lower-triangular 0/1 matrix: products are 0/1 and the
+        # MXU accumulates in f32, so counts <= NUM_TILES are exact), then a
+        # one-hot (K, NUM_TILES) contraction places each selected tile.
+        # A prior version culled per 8x16-px block with lax.top_k + gather;
+        # the per-block sort dominated everything (measured 8x slower than
+        # no culling at all on TPU — docs/BENCHMARKS.md).
         centers = state["centers"]
-        d2car = jnp.sum((centers - hull[:2]) ** 2, axis=-1)
-        _, near_idx = jax.lax.top_k(-d2car, RASTER_TILES)
-        near = centers[near_idx]  # (K, 2)
-        # Pixels grouped into 8x16-px blocks — exactly 128 pixels, so the
-        # pixel axis fills the TPU lane dimension end to end — with the tile
-        # axis in the MIDDLE of a (blocks, K2, 128) broadcast: each of the
-        # K2 difference planes is then a full-lane (72, 128) vector op.  The
-        # flat (P, K) form keeps K on the lane axis (96/128 utilization,
-        # and the min-reduce runs across lanes); measured 2.15x slower.
-        # K-major (K, 72, 128) forces a cross-sublane reduction: ~100x
-        # slower.
-        wxb = wx.reshape(12, 8, 6, 16).transpose(0, 2, 1, 3).reshape(72, 128)
-        wyb = wy.reshape(12, 8, 6, 16).transpose(0, 2, 1, 3).reshape(72, 128)
-        # Second culling level: of the K car-near tiles, only those within
-        # TRACK_WIDTH + block half-diagonal (~9.5 m) of a block's center can
-        # flip any of its 128 pixels, and a 9.5 m disc intersects far less
-        # track arc than K2 tiles span (tile spacing ~1.6 m: a straight pass
-        # crosses ~12, a hairpin ~24) — so the K2 nearest-to-block tiles
-        # contain every reachable one.  The cull itself is a cheap (72, K)
-        # plane + top_k; the raster then sweeps 3x less arithmetic.  The
-        # brute-force oracle test (test_blocked_rasterizer_matches_all_tiles
-        # _sweep) pins exactness against ALL-tile sweeps at hairpins.
-        bcx = jnp.mean(wxb, axis=1)  # (72,) block centers in world coords
-        bcy = jnp.mean(wyb, axis=1)
-        d2block = (bcx[:, None] - near[None, :, 0]) ** 2 + (
-            bcy[:, None] - near[None, :, 1]
-        ) ** 2  # (72, K)
-        _, idx2 = jax.lax.top_k(-d2block, RASTER_TILES_PER_BLOCK)
-        tiles_b = near[idx2]  # (72, K2, 2)
-        dx = wxb[:, None, :] - tiles_b[..., 0][:, :, None]  # (72, K2, 128)
-        dy = wyb[:, None, :] - tiles_b[..., 1][:, :, None]
-        mind2b = jnp.min(dx * dx + dy * dy, axis=1)  # (72, 128)
-        road = (
-            (mind2b <= TRACK_WIDTH**2)
-            .reshape(12, 6, 8, 16)
-            .transpose(0, 2, 1, 3)
-            .reshape(STATE_H, STATE_W)
+        rel = centers - hull[:2]
+        txc = rel[:, 0] * ca + rel[:, 1] * sa  # (NUM_TILES,) car frame
+        tyc = -rel[:, 0] * sa + rel[:, 1] * ca
+        margin = TRACK_WIDTH * 1.001
+        in_rect = (
+            (jnp.abs(txc) <= 15.0 + margin)
+            & (tyc >= -7.5 - margin)
+            & (tyc <= 22.5 + margin)
         )
+        m32 = in_rect.astype(jnp.float32)
+        lower = jnp.tril(jnp.ones((NUM_TILES, NUM_TILES), jnp.float32), k=-1)
+        slot = lower @ m32  # slot[k] = #selected below k (exact, see above)
+        onehot = (
+            (slot[None, :] == jnp.arange(RASTER_TILES, dtype=jnp.float32)[:, None])
+            & in_rect[None, :]
+        ).astype(jnp.float32)  # (K, NUM_TILES)
+        sel = jax.lax.dot_general(
+            onehot,
+            jnp.stack([txc, tyc], axis=-1),
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,  # one-hot: pass coords through exactly
+        )  # (K, 2)
+        filled = jnp.arange(RASTER_TILES) < jnp.sum(m32)
+        txk = jnp.where(filled, sel[:, 0], 1e6)  # empty slots can never win
+        tyk = jnp.where(filled, sel[:, 1], 1e6)
+
+        a2 = (vxg[None, :] - txk[:, None]) ** 2  # (K, W)
+        bt = TRACK_WIDTH**2 - (vyg[None, :] - tyk[:, None]) ** 2  # (K, H)
+        road = jnp.any(a2[:, None, :] <= bt[:, :, None], axis=0)  # (H, W)
 
         # grass checker in world space
         checker = (

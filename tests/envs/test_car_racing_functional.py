@@ -129,10 +129,11 @@ def test_vmapped_batch():
     assert obs.shape == (4, 96, 96, 3)
 
 
-def test_blocked_rasterizer_matches_all_tiles_sweep():
-    """The two-level tile culling (K nearest-to-car, then K2 nearest per
-    8x16-px block) must reproduce the brute-force road mask exactly: any
-    culled tile is provably out of reach of every pixel it was culled for."""
+def test_rasterizer_matches_all_tiles_sweep():
+    """The view-rect tile culling + separable car-frame sweep must reproduce
+    the brute-force world-frame road mask exactly: any culled tile is
+    provably out of reach of every pixel (outside the rotated view window),
+    and the car-frame factorization changes only sub-ulp boundary pixels."""
     from gymnasium_tpu.envs.box2d.car_racing import STATE_H, STATE_W
 
     fe = CarRacingFunctional()
@@ -176,3 +177,42 @@ def test_blocked_rasterizer_matches_all_tiles_sweep():
                 f"seed {seed} tile {tile}: culled rasterizer diverges on "
                 f"{int((mism & ~overlay).sum())} px"
             )
+
+
+def test_raster_slots_never_overflow():
+    """The compaction bound behind the rasterizer's exactness claim: across
+    many tracks and EVERY along-track car pose (plus off-road poses between
+    track branches), the number of tiles inside the margin-padded view
+    rectangle stays below RASTER_TILES, so no reachable tile is dropped."""
+    from gymnasium_tpu.envs.box2d.car_racing_functional import RASTER_TILES
+
+    fe = CarRacingFunctional()
+    worst = 0
+    for seed in range(16):
+        state = fe.initial(jax.random.PRNGKey(seed))
+        centers = np.asarray(state["centers"])
+        betas = np.asarray(state["betas"])
+        margin = TRACK_WIDTH * 1.001
+        # every tile center as the car pose, with the track heading there
+        rel = centers[None, :, :] - centers[:, None, :]  # (pose, tile, 2)
+        ca, sa = np.cos(betas)[:, None], np.sin(betas)[:, None]
+        tx = rel[..., 0] * ca + rel[..., 1] * sa
+        ty = -rel[..., 0] * sa + rel[..., 1] * ca
+        in_rect = (
+            (np.abs(tx) <= 15.0 + margin)
+            & (ty >= -7.5 - margin)
+            & (ty <= 22.5 + margin)
+        )
+        worst = max(worst, int(in_rect.sum(axis=1).max()))
+        # midpoints between all pairs of nearby-but-far-in-arc tiles — the
+        # densest off-road poses (between parallel straights / hairpins)
+        mid = (centers[::8, None, :] + centers[None, ::8, :]) / 2.0
+        mid = mid.reshape(-1, 2)
+        relm = centers[None, :, :] - mid[:, None, :]
+        d2 = relm[..., 0] ** 2 + relm[..., 1] ** 2
+        # disc bound (heading-free upper bound on any rect count)
+        r_disc = np.hypot(15.0 + margin, np.maximum(22.5, 7.5) + margin)
+        worst = max(worst, int((d2 <= r_disc**2).sum(axis=1).max()))
+    assert worst <= RASTER_TILES, (
+        f"view-rect tile count {worst} exceeds RASTER_TILES={RASTER_TILES}"
+    )
