@@ -117,21 +117,28 @@ def build_world(dt_substeps: int = 4, iters: int = 6) -> PlanarWorld:
         ref_angle=np.zeros(4),
     )
 
-    # Probes: shank feet (leg ground contact), hull corners (crash).
+    # Probes: shank feet (leg ground contact), shank knee-end corners (in
+    # Box2D the whole leg box collides — without these a backward-tucking
+    # shank swings THROUGH the ground and the walker collapses into a fold
+    # the real engine geometrically forbids), hull corners (crash).
     contacts = ContactSpec(
-        body=np.array([2, 2, 4, 4, 0, 0, 0]),
+        body=np.array([2, 2, 4, 4, 2, 2, 4, 4, 0, 0, 0]),
         point=np.array(
             [
                 [-0.4 * LEG_W, -LEG_H / 2],
                 [+0.4 * LEG_W, -LEG_H / 2],
                 [-0.4 * LEG_W, -LEG_H / 2],
                 [+0.4 * LEG_W, -LEG_H / 2],
+                [-0.4 * LEG_W, +LEG_H / 2],
+                [+0.4 * LEG_W, +LEG_H / 2],
+                [-0.4 * LEG_W, +LEG_H / 2],
+                [+0.4 * LEG_W, +LEG_H / 2],
                 [-30 / SCALE - _HULL_COM[0], -8 / SCALE - _HULL_COM[1]],
                 [+34 / SCALE - _HULL_COM[0], -8 / SCALE - _HULL_COM[1]],
                 [+6 / SCALE - _HULL_COM[0], +9 / SCALE - _HULL_COM[1]],
             ]
         ),
-        friction=np.full(7, FRICTION),
+        friction=np.full(11, FRICTION),
     )
     return PlanarWorld(
         bodies,
@@ -146,8 +153,8 @@ def build_world(dt_substeps: int = 4, iters: int = 6) -> PlanarWorld:
 _WORLD = build_world()
 _SUBSTEPS = 4
 
-_LEG_CONTACT_IDX = [(0, 1), (2, 3)]  # probe indices per leg
-_HULL_CONTACT_IDX = [4, 5, 6]
+_LEG_CONTACT_IDX = [(0, 1), (2, 3)]  # foot probe indices per leg
+_HULL_CONTACT_IDX = [8, 9, 10]
 
 
 def generate_terrain(xp, uniform_steps, hardcore: bool = False, obstacle_draws=None):
@@ -246,18 +253,22 @@ def ground_height_fn(xp, terrain):
 
 
 def initial_bodies(xp, batch_shape=()):
-    """Rest pose: hull above the start pad, legs hanging vertical."""
+    """The reference's CREATION pose (box2d/bipedal_walker.py:449-506): hull
+    above the start pad, legs at ±0.05 rad placed LEG_DOWN above their hip
+    anchors (the joints start 0.53 m violated; the position solver assembles
+    the walker over the first few frames, exactly like Box2D's NGS pass).
+    Feet start above the terrain — nothing penetrates at t=0."""
     init_x = TERRAIN_STEP * TERRAIN_STARTPAD / 2
     init_y = TERRAIN_HEIGHT + 2 * LEG_H
     hull = [init_x + _HULL_COM[0], init_y + _HULL_COM[1], 0.0, 0.0, 0.0, 0.0]
-    thigh_y = init_y + LEG_DOWN - LEG_H / 2
-    shank_y = thigh_y - LEG_H
+    thigh_y = init_y - LEG_H / 2 - LEG_DOWN
+    shank_y = init_y - LEG_H * 3 / 2 - LEG_DOWN
     rows = [
         hull,
-        [init_x, thigh_y, 0.05, 0, 0, 0],
-        [init_x, shank_y, 0.05, 0, 0, 0],
         [init_x, thigh_y, -0.05, 0, 0, 0],
         [init_x, shank_y, -0.05, 0, 0, 0],
+        [init_x, thigh_y, 0.05, 0, 0, 0],
+        [init_x, shank_y, 0.05, 0, 0, 0],
     ]
     base = xp.asarray(rows)
     if batch_shape:
@@ -357,9 +368,11 @@ def walker_step(xp, state, action, world: PlanarWorld = _WORLD):
     for _ in range(_SUBSTEPS):
         bodies, flags = world_step(xp, bodies, world, motor_speed, motor_torque, gh)
 
-    leg1 = flags[..., 0] | flags[..., 1]
-    leg2 = flags[..., 2] | flags[..., 3]
-    hull_contact = flags[..., 4] | flags[..., 5] | flags[..., 6]
+    # ground_contact flags mirror the reference's lower-leg contact
+    # listener (any part of the shank box, foot or knee end)
+    leg1 = flags[..., 0] | flags[..., 1] | flags[..., 4] | flags[..., 5]
+    leg2 = flags[..., 2] | flags[..., 3] | flags[..., 6] | flags[..., 7]
+    hull_contact = flags[..., 8] | flags[..., 9] | flags[..., 10]
 
     hull = bodies[..., 0, :]
     hull_x = hull[..., 0] - _HULL_COM[0]
@@ -433,16 +446,18 @@ class BipedalWalker(gym.Env[np.ndarray, np.ndarray], EzPickle):
         self.state = {
             "bodies": bodies,
             "terrain": terrain,
-            "prev_shaping": np.asarray(
-                130.0 * (bodies[0, 0] - _HULL_COM[0]) / SCALE
-            ),
+            "prev_shaping": np.asarray(0.0),
             "done": np.asarray(False),
             "r": np.asarray(0.0),
         }
-        obs = self._observe()
+        # the reference's reset ends with `return self.step([0,0,0,0])[0]`
+        # (bipedal_walker.py:520): one zero-action settle tick whose reward
+        # is discarded and whose post-tick shaping seeds prev_shaping
+        self.state, obs = walker_step(np, self.state, np.zeros(4))
+        self.state["r"] = np.asarray(0.0)
         if self.render_mode == "human":
             self.render()
-        return obs, {}
+        return np.asarray(obs, dtype=np.float32), {}
 
     def _observe(self) -> np.ndarray:
         return np.asarray(observe_state(np, self.state), dtype=np.float32)
@@ -546,13 +561,18 @@ class BipedalWalkerFunctional(FuncEnv):
         bodies = jnp.asarray(initial_bodies(np))
         kick = jax.random.uniform(k_kick, (), minval=-INITIAL_RANDOM, maxval=INITIAL_RANDOM)
         bodies = bodies.at[0, 3].add(kick / _HULL_MASS / FPS)
-        return {
+        state = {
             "bodies": bodies,
             "terrain": terrain,
-            "prev_shaping": 130.0 * (bodies[0, 0] - _HULL_COM[0]) / SCALE,
+            "prev_shaping": jnp.zeros(()),
             "done": jnp.zeros((), bool),
             "r": jnp.zeros(()),
         }
+        # reference reset runs one zero-action settle tick (see host reset)
+        state, _ = walker_step(jnp, state, jnp.zeros(4))
+        state["r"] = jnp.zeros(())
+        state["done"] = jnp.zeros((), bool)
+        return state
 
     def transition(self, state, action, rng, params: Any = None):
         import jax.numpy as jnp

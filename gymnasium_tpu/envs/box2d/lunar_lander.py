@@ -163,9 +163,11 @@ def _render_lander(state, params, width=dyn.VIEWPORT_W, height=dyn.VIEWPORT_H):
     ground = pts + [(width, height), (0, height)]
     canvas.polygon(ground, (255, 255, 255))
 
-    body = np.asarray(state["body"])[0]
-    x, y, _, _, angle, _ = body
+    bodies = np.asarray(state["body"])[0]
+    hx, hy, angle = bodies[0, 0], bodies[0, 1], bodies[0, 2]
     c, s = math.cos(angle), math.sin(angle)
+    # hull vertices are origin-relative; the state row carries the hull COM
+    x, y = hx + dyn._HULL_CY * s, hy - dyn._HULL_CY * c
     poly = []
     for bx, by in dyn.LANDER_POLY:
         bx, by = bx / scale, by / scale
@@ -173,15 +175,16 @@ def _render_lander(state, params, width=dyn.VIEWPORT_W, height=dyn.VIEWPORT_H):
         ry = bx * s + by * c
         poly.append(((x + rx) * scale, height - (y + ry) * scale))
     canvas.polygon(poly, (128, 102, 230))
-    for tip in dyn._LEG_TIP:
-        rx = tip[0] * c - tip[1] * s
-        ry = tip[0] * s + tip[1] * c
-        canvas.line(
-            (x * scale, height - y * scale),
-            ((x + rx) * scale, height - (y + ry) * scale),
-            (77, 77, 128),
-            3,
-        )
+    for leg in bodies[1:]:
+        lx, ly, la = leg[0], leg[1], leg[2]
+        lc, ls = math.cos(la), math.sin(la)
+        corners = []
+        for bx, by in [(-dyn._LEG_HALF_W, -dyn._LEG_HALF_H), (dyn._LEG_HALF_W, -dyn._LEG_HALF_H),
+                       (dyn._LEG_HALF_W, dyn._LEG_HALF_H), (-dyn._LEG_HALF_W, dyn._LEG_HALF_H)]:
+            rx = bx * lc - by * ls
+            ry = bx * ls + by * lc
+            corners.append(((lx + rx) * scale, height - (ly + ry) * scale))
+        canvas.polygon(corners, (77, 77, 128))
     return canvas.rgb_array()
 
 

@@ -1,11 +1,19 @@
 """Mini 2D articulated rigid-body engine, fully jittable.
 
 This is the TPU-native replacement for the Box2D C++ solver (SURVEY.md
-§2.10): the same sequential-impulse algorithm Box2D uses — velocity-level
-constraint solving with Baumgarte stabilization — but with a *fixed*
-topology, *fixed* contact-candidate set, and *fixed* iteration counts, so
-the whole step is static-shape XLA code that vmaps across thousands of
-worlds.
+§2.10): the same split-impulse sequential algorithm Box2D uses —
+velocity-level constraint solving followed by a non-linear Gauss-Seidel
+POSITION pass that removes penetration and joint drift by moving bodies
+directly (zero kinetic energy injected) — but with a *fixed* topology,
+*fixed* contact-candidate set, and *fixed* iteration counts, so the whole
+step is static-shape XLA code that vmaps across thousands of worlds.
+
+An earlier version stabilized positions with velocity-level Baumgarte bias
+(penetration folded into the contact/joint velocity targets). That injects
+real momentum: a deliberately-violated initial pose — e.g. BipedalWalker's
+legs, which the reference creates 0.53 m away from their hip anchors and
+lets Box2D's position solver assemble — was ejected at ~6 m/s instead of
+settling, skewing every downstream return distribution.
 
 Supported: revolute joints with limits and motors, heightfield ground
 contact with Coulomb friction, semi-implicit Euler integration. Worlds are
@@ -58,8 +66,10 @@ class PlanarWorld(NamedTuple):
     gravity: float = -10.0
     dt: float = 1.0 / 50.0
     velocity_iterations: int = 8
-    baumgarte: float = 0.2
+    position_iterations: int = 4
+    baumgarte: float = 0.2  # position-pass contact correction factor (b2_baumgarte)
     contact_slop: float = 0.005
+    max_correction: float = 0.2  # per-iteration position clamp (b2_maxLinearCorrection)
 
 
 def _rot(xp, px, py, c, s):
@@ -135,10 +145,7 @@ def world_step(
         rbx, rby = _rot(
             xp, world.joints.anchor_b[j, 0], world.joints.anchor_b[j, 1], c[..., b], s[..., b]
         )
-        # position error for Baumgarte bias
-        errx = (pos[..., b, 0] + rbx) - (pos[..., a, 0] + rax)
-        erry = (pos[..., b, 1] + rby) - (pos[..., a, 1] + ray)
-        joint_arms.append((a, b, rax, ray, rbx, rby, errx, erry))
+        joint_arms.append((a, b, rax, ray, rbx, rby))
 
     # Contact precomputation: world points, depths.
     contact_data = []
@@ -153,56 +160,66 @@ def world_step(
         depth = gy - py
         contact_data.append((b, rx, ry, depth))
 
-    # --- velocity iterations ---------------------------------------------
+    # --- velocity iterations (no position terms: split impulse) -----------
+    # Inequality/clamped impulses ACCUMULATE across iterations with the
+    # clamp applied to the accumulated total (Box2D's scheme). Clamping each
+    # iteration's increment instead lets a loaded motor re-apply its full
+    # budget every iteration — measured up to velocity_iterations x the
+    # specified torque, which made random-policy walkers thrash and fall in
+    # a third of the reference's survival time.
+    zero = xp.zeros_like(angle[..., 0])
+    acc_motor = [zero] * J
+    acc_low = [zero] * J
+    acc_up = [zero] * J
+    acc_n = [zero] * C
+    acc_t = [zero] * C
     for _ in range(world.velocity_iterations):
         # joint motors + limits
-        j_angle_all = None
         for j in range(J):
-            a, b, rax, ray, rbx, rby, errx, erry = joint_arms[j]
+            a, b, rax, ray, rbx, rby = joint_arms[j]
 
-            # motor: drive relative omega toward motor_speed, clamped
+            # motor: drive relative omega toward motor_speed; total impulse
+            # over the step bounded by maxMotorTorque * dt
             rel_omega = omega[..., b] - omega[..., a]
-            k_ang = inv_i[a] + inv_i[b]
-            imp_motor = xp.where(
-                k_ang > 0, (motor_speed[..., j] - rel_omega) / xp.maximum(k_ang, 1e-9), 0.0
-            )
+            k_ang = xp.maximum(inv_i[a] + inv_i[b], 1e-9)
+            raw = (motor_speed[..., j] - rel_omega) / k_ang
             max_imp = motor_torque[..., j] * dt
-            imp_motor = xp.clip(imp_motor, -max_imp, max_imp)
+            new_acc = xp.clip(acc_motor[j] + raw, -max_imp, max_imp)
+            imp_motor = new_acc - acc_motor[j]
+            acc_motor[j] = new_acc
             omega = _add_at(xp, omega, a, -imp_motor * inv_i[a])
             omega = _add_at(xp, omega, b, imp_motor * inv_i[b])
 
-            # limits: push joint angle back into [lower, upper]
+            # limits: block velocity INTO a violated limit (the angle
+            # overshoot itself is removed by the position pass); the
+            # accumulated impulse is one-signed but an iteration may undo
+            # part of a previous over-correction
             j_angle = angle[..., b] - angle[..., a] - world.joints.ref_angle[j]
             rel_omega = omega[..., b] - omega[..., a]
-            lower_err = j_angle - world.joints.lower[j]  # negative when violated
-            upper_err = world.joints.upper[j] - j_angle  # negative when violated
-            # lower limit: drive rel_omega up to at least β/dt·|violation|
-            target_low = -xp.minimum(lower_err, 0.0) * (world.baumgarte / dt)
-            imp_low = xp.where(
-                lower_err < 0,
-                xp.maximum(target_low - rel_omega, 0.0) / xp.maximum(k_ang, 1e-9),
-                0.0,
-            )
+            at_lower = j_angle - world.joints.lower[j] < 0
+            raw = xp.where(at_lower, -rel_omega / k_ang, -acc_low[j])
+            new_acc = xp.maximum(acc_low[j] + raw, 0.0)
+            imp_low = new_acc - acc_low[j]
+            acc_low[j] = new_acc
             omega = _add_at(xp, omega, a, -imp_low * inv_i[a])
             omega = _add_at(xp, omega, b, imp_low * inv_i[b])
             rel_omega = omega[..., b] - omega[..., a]
-            # upper limit: drive rel_omega down to at most -β/dt·|violation|
-            target_up = xp.minimum(upper_err, 0.0) * (world.baumgarte / dt)
-            imp_up = xp.where(
-                upper_err < 0,
-                xp.minimum(target_up - rel_omega, 0.0) / xp.maximum(k_ang, 1e-9),
-                0.0,
-            )
+            at_upper = world.joints.upper[j] - j_angle < 0
+            raw = xp.where(at_upper, -rel_omega / k_ang, -acc_up[j])
+            new_acc = xp.minimum(acc_up[j] + raw, 0.0)
+            imp_up = new_acc - acc_up[j]
+            acc_up[j] = new_acc
             omega = _add_at(xp, omega, a, -imp_up * inv_i[a])
             omega = _add_at(xp, omega, b, imp_up * inv_i[b])
 
             # point constraint: zero relative velocity at the anchor
+            # (equality constraint — no clamp, no accumulation needed)
             vax = vel[..., a, 0] - omega[..., a] * ray
             vay = vel[..., a, 1] + omega[..., a] * rax
             vbx = vel[..., b, 0] - omega[..., b] * rby
             vby = vel[..., b, 1] + omega[..., b] * rbx
-            cdx = vbx - vax + errx * (world.baumgarte / dt)
-            cdy = vby - vay + erry * (world.baumgarte / dt)
+            cdx = vbx - vax
+            cdy = vby - vay
 
             k11 = inv_m[a] + inv_m[b] + inv_i[a] * ray * ray + inv_i[b] * rby * rby
             k12 = -inv_i[a] * rax * ray - inv_i[b] * rbx * rby
@@ -217,29 +234,109 @@ def world_step(
             omega = _add_at(xp, omega, a, -(rax * iy - ray * ix) * inv_i[a])
             omega = _add_at(xp, omega, b, (rbx * iy - rby * ix) * inv_i[b])
 
-        # ground contacts
+        # ground contacts: stop approach velocity only (no Baumgarte bias —
+        # penetration is removed positionally, so nothing gets launched);
+        # friction clamps against the ACCUMULATED normal impulse so it keeps
+        # acting across iterations while a foot slides
         for k in range(C):
             b, rx, ry, depth = contact_data[k]
             active = depth > 0.0
 
-            pvx = vel[..., b, 0] - omega[..., b] * ry
             pvy = vel[..., b, 1] + omega[..., b] * rx
+            k_n = xp.maximum(inv_m[b] + inv_i[b] * rx * rx, 1e-9)
+            raw_n = xp.where(active, -pvy / k_n, -acc_n[k])
+            new_acc_n = xp.maximum(acc_n[k] + raw_n, 0.0)
+            jn = new_acc_n - acc_n[k]
+            acc_n[k] = new_acc_n
+            vel = _add_at2(xp, vel, b, xp.zeros_like(jn), jn * inv_m[b])
+            omega = _add_at(xp, omega, b, rx * jn * inv_i[b])
 
-            bias = xp.maximum(depth - world.contact_slop, 0.0) * (world.baumgarte / dt)
-            k_n = inv_m[b] + inv_i[b] * rx * rx
-            jn = xp.where(active, xp.maximum(-(pvy - bias) / xp.maximum(k_n, 1e-9), 0.0), 0.0)
-
-            k_t = inv_m[b] + inv_i[b] * ry * ry
-            jt_raw = xp.where(active, -pvx / xp.maximum(k_t, 1e-9), 0.0)
+            pvx = vel[..., b, 0] - omega[..., b] * ry
+            k_t = xp.maximum(inv_m[b] + inv_i[b] * ry * ry, 1e-9)
+            raw_t = xp.where(active, -pvx / k_t, -acc_t[k])
             mu = world.contacts.friction[k]
-            jt = xp.clip(jt_raw, -mu * jn, mu * jn)
-
-            vel = _add_at2(xp, vel, b, jt * inv_m[b], jn * inv_m[b])
-            omega = _add_at(xp, omega, b, (rx * jn - ry * jt) * inv_i[b])
+            new_acc_t = xp.clip(acc_t[k] + raw_t, -mu * new_acc_n, mu * new_acc_n)
+            jt = new_acc_t - acc_t[k]
+            acc_t[k] = new_acc_t
+            vel = _add_at2(xp, vel, b, jt * inv_m[b], xp.zeros_like(jt))
+            omega = _add_at(xp, omega, b, -ry * jt * inv_i[b])
 
     # --- integrate positions ----------------------------------------------
     pos = pos + vel * dt
     angle = angle + omega * dt
+
+    # --- position pass (non-linear Gauss-Seidel, Box2D SolvePosition...) ---
+    # Joint drift and contact penetration are removed by moving bodies
+    # directly; velocities are untouched, so no kinetic energy is injected.
+    # Box2D's island order: contacts first, then joints (limit before point
+    # within each joint), so an over-determined squeeze parks its residual
+    # in the joints — not as ground penetration.
+    max_ang_corr = 8.0 * 3.14159265 / 180.0  # b2_maxAngularCorrection
+    for _ in range(world.position_iterations):
+        c = xp.cos(angle)
+        s = xp.sin(angle)
+        for k in range(C):
+            b = int(world.contacts.body[k])
+            rx, ry = _rot(
+                xp, world.contacts.point[k, 0], world.contacts.point[k, 1], c[..., b], s[..., b]
+            )
+            px = pos[..., b, 0] + rx
+            py = pos[..., b, 1] + ry
+            depth = ground_height_fn(px) - py
+            corr = xp.clip(
+                world.baumgarte * (depth - world.contact_slop), 0.0, world.max_correction
+            )
+            k_n = xp.maximum(inv_m[b] + inv_i[b] * rx * rx, 1e-9)
+            lam = corr / k_n
+            pos = _add_at2(xp, pos, b, xp.zeros_like(lam), lam * inv_m[b])
+            angle = _add_at(xp, angle, b, rx * lam * inv_i[b])
+            c = xp.cos(angle)
+            s = xp.sin(angle)
+
+        for j in range(J):
+            a = int(world.joints.body_a[j])
+            b = int(world.joints.body_b[j])
+
+            # joint-limit overshoot first (b2RevoluteJoint order), clamped
+            # per iteration like b2_maxAngularCorrection
+            j_angle = angle[..., b] - angle[..., a] - world.joints.ref_angle[j]
+            k_ang = xp.maximum(inv_i[a] + inv_i[b], 1e-9)
+            over_low = xp.minimum(j_angle - world.joints.lower[j], 0.0)
+            over_up = xp.maximum(j_angle - world.joints.upper[j], 0.0)
+            corr = xp.clip(-(over_low + over_up), -max_ang_corr, max_ang_corr)
+            angle = _add_at(xp, angle, a, -corr * inv_i[a] / k_ang)
+            angle = _add_at(xp, angle, b, corr * inv_i[b] / k_ang)
+            c = xp.cos(angle)
+            s = xp.sin(angle)
+
+            rax, ray = _rot(
+                xp, world.joints.anchor_a[j, 0], world.joints.anchor_a[j, 1], c[..., a], s[..., a]
+            )
+            rbx, rby = _rot(
+                xp, world.joints.anchor_b[j, 0], world.joints.anchor_b[j, 1], c[..., b], s[..., b]
+            )
+            errx = (pos[..., b, 0] + rbx) - (pos[..., a, 0] + rax)
+            erry = (pos[..., b, 1] + rby) - (pos[..., a, 1] + ray)
+            # NO clamp here: b2RevoluteJoint solves the full point error per
+            # iteration. Clamping re-rotates light links every sub-pull (the
+            # anchor lever grows as the link rotates — positive feedback that
+            # bent the walker's knees 0.76 rad during assembly); the full
+            # one-shot solve rotates once and converges.
+
+            k11 = inv_m[a] + inv_m[b] + inv_i[a] * ray * ray + inv_i[b] * rby * rby
+            k12 = -inv_i[a] * rax * ray - inv_i[b] * rbx * rby
+            k22 = inv_m[a] + inv_m[b] + inv_i[a] * rax * rax + inv_i[b] * rbx * rbx
+            det = k11 * k22 - k12 * k12
+            det = xp.where(xp.abs(det) < 1e-12, 1e-12, det)
+            ix = -(k22 * errx - k12 * erry) / det
+            iy = -(k11 * erry - k12 * errx) / det
+
+            pos = _add_at2(xp, pos, a, -ix * inv_m[a], -iy * inv_m[a])
+            pos = _add_at2(xp, pos, b, ix * inv_m[b], iy * inv_m[b])
+            angle = _add_at(xp, angle, a, -(rax * iy - ray * ix) * inv_i[a])
+            angle = _add_at(xp, angle, b, (rbx * iy - rby * ix) * inv_i[b])
+            c = xp.cos(angle)
+            s = xp.sin(angle)
 
     new_state = xp.concatenate(
         [pos, angle[..., None], vel, omega[..., None]], axis=-1
