@@ -88,7 +88,7 @@ _SHANK_MASS, _SHANK_I = _box_props(0.8 * LEG_W, LEG_H, 1.0)
 _HIP_ANCHOR_HULL = (0.0 - _HULL_COM[0], LEG_DOWN - _HULL_COM[1])
 
 
-def build_world(dt_substeps: int = 4, iters: int = 6) -> PlanarWorld:
+def build_world(dt_substeps: int = 4, iters: int = 12) -> PlanarWorld:
     """The 5-body walker world: hull, thigh1, shank1, thigh2, shank2."""
     inv_mass = np.array(
         [1 / _HULL_MASS, 1 / _THIGH_MASS, 1 / _SHANK_MASS, 1 / _THIGH_MASS, 1 / _SHANK_MASS]
@@ -120,9 +120,13 @@ def build_world(dt_substeps: int = 4, iters: int = 6) -> PlanarWorld:
     # Probes: shank feet (leg ground contact), shank knee-end corners (in
     # Box2D the whole leg box collides — without these a backward-tucking
     # shank swings THROUGH the ground and the walker collapses into a fold
-    # the real engine geometrically forbids), hull corners (crash).
+    # the real engine geometrically forbids), hull corners (crash), then
+    # thigh corners: a split-sitting walker rests its folded back THIGH on
+    # the ground (reference LEG_FD is a full collidable box) — without
+    # thigh support the hull rolls over backward past the stable sit the
+    # real engine reaches. Appended last so the flag indices above stay put.
     contacts = ContactSpec(
-        body=np.array([2, 2, 4, 4, 2, 2, 4, 4, 0, 0, 0]),
+        body=np.array([2, 2, 4, 4, 2, 2, 4, 4, 0, 0, 0, 1, 1, 1, 1, 3, 3, 3, 3]),
         point=np.array(
             [
                 [-0.4 * LEG_W, -LEG_H / 2],
@@ -136,9 +140,34 @@ def build_world(dt_substeps: int = 4, iters: int = 6) -> PlanarWorld:
                 [-30 / SCALE - _HULL_COM[0], -8 / SCALE - _HULL_COM[1]],
                 [+34 / SCALE - _HULL_COM[0], -8 / SCALE - _HULL_COM[1]],
                 [+6 / SCALE - _HULL_COM[0], +9 / SCALE - _HULL_COM[1]],
+                [-LEG_W / 2, -LEG_H / 2],
+                [+LEG_W / 2, -LEG_H / 2],
+                [-LEG_W / 2, +LEG_H / 2],
+                [+LEG_W / 2, +LEG_H / 2],
+                [-LEG_W / 2, -LEG_H / 2],
+                [+LEG_W / 2, -LEG_H / 2],
+                [-LEG_W / 2, +LEG_H / 2],
+                [+LEG_W / 2, +LEG_H / 2],
             ]
         ),
-        friction=np.full(11, FRICTION),
+        # Box2D mixes contact friction as sqrt(fixture_a * fixture_b): the
+        # terrain carries FRICTION=2.5 but the leg fixtures use the default
+        # 0.2 and the hull 0.1 (reference bipedal_walker.py:55-80) — feet
+        # grip at 0.707, not 2.5. Full-strength feet pinned the walker into
+        # a static sit; the reference's surviving mode is a forward skid.
+        # Knee-end probes (4-7) are frictionless: they exist only as a
+        # geometric guard against the shank folding through the terrain —
+        # in Box2D that corner contact is a transient manifold point, and
+        # giving the persistent probe tangential grip rectified random
+        # paddling into a -3 mm/step backward skid (measured vs the real
+        # engine's +0.8 mm forward drift; the x<0 crash line then killed
+        # every surviving episode around step ~700).
+        friction=np.array(
+            [math.sqrt(0.2 * FRICTION)] * 4
+            + [0.0] * 4
+            + [math.sqrt(0.1 * FRICTION)] * 3
+            + [math.sqrt(0.2 * FRICTION)] * 8
+        ),
     )
     return PlanarWorld(
         bodies,
@@ -150,7 +179,12 @@ def build_world(dt_substeps: int = 4, iters: int = 6) -> PlanarWorld:
     )
 
 
-_WORLD = build_world()
+# 12 velocity / 8 position iterations: the reference steps Box2D with
+# 180/60 (world.Step(1/FPS, 6*30, 2*30)); at 6/4 a loaded knee crept
+# ~0.05 rad/frame through its hard limit (the split-sit collapse), at 12/8
+# the limit holds and the zero-action fall time lands at 90-100 frames vs
+# the reference's 114.
+_WORLD = build_world()._replace(position_iterations=8)
 _SUBSTEPS = 4
 
 _LEG_CONTACT_IDX = [(0, 1), (2, 3)]  # foot probe indices per leg
@@ -253,23 +287,29 @@ def ground_height_fn(xp, terrain):
 
 
 def initial_bodies(xp, batch_shape=()):
-    """The reference's CREATION pose (box2d/bipedal_walker.py:449-506): hull
-    above the start pad, legs at ±0.05 rad placed LEG_DOWN above their hip
-    anchors (the joints start 0.53 m violated; the position solver assembles
-    the walker over the first few frames, exactly like Box2D's NGS pass).
-    Feet start above the terrain — nothing penetrates at t=0."""
+    """The reference's CREATION pose, replayed through our solver.
+
+    Box2D creates the walker standing with straight legs at ±0.05 rad and
+    the hip joints 0.53 m violated (box2d/bipedal_walker.py:449-506): the
+    position solver snaps the legs up to the hull, the assembly free-falls
+    ~0.5 m, and the impact buckles the knees into the low crouch every
+    episode starts from. Replaying the same creation state through this
+    engine reproduces the crash-time distribution (zero-action death at
+    ~90-100 frames vs the reference's 114; random-policy crash cluster
+    44-110 in both). Earlier rounds pre-assembled a hand-tuned crouch
+    instead — that skipped the assembly transient and parked every episode
+    in a backward-drifting sit the real engine never visits."""
     init_x = TERRAIN_STEP * TERRAIN_STARTPAD / 2
     init_y = TERRAIN_HEIGHT + 2 * LEG_H
     hull = [init_x + _HULL_COM[0], init_y + _HULL_COM[1], 0.0, 0.0, 0.0, 0.0]
-    thigh_y = init_y - LEG_H / 2 - LEG_DOWN
-    shank_y = init_y - LEG_H * 3 / 2 - LEG_DOWN
-    rows = [
-        hull,
-        [init_x, thigh_y, -0.05, 0, 0, 0],
-        [init_x, shank_y, -0.05, 0, 0, 0],
-        [init_x, thigh_y, 0.05, 0, 0, 0],
-        [init_x, shank_y, 0.05, 0, 0, 0],
-    ]
+    rows = [hull]
+    for ang in (-0.05, 0.05):  # reference creation order: leg i=-1 then +1
+        thigh_y = init_y - LEG_H / 2 - LEG_DOWN
+        shank_y = init_y - LEG_H * 3 / 2 - LEG_DOWN
+        rows += [
+            [init_x, thigh_y, ang, 0, 0, 0],
+            [init_x, shank_y, ang, 0, 0, 0],
+        ]
     base = xp.asarray(rows)
     if batch_shape:
         base = xp.broadcast_to(base, batch_shape + base.shape)

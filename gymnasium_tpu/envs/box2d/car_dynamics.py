@@ -174,3 +174,17 @@ class Car:
     def speed(self) -> float:
         """Hull speed magnitude."""
         return float(math.hypot(self.hull[3], self.hull[4]))
+
+    def wheel_positions(self) -> np.ndarray:
+        """World (x, y) of the four wheel centers, shape (4, 2).
+
+        The reference attaches wheels as separate Box2D bodies; here they are
+        rigid offsets of the hull (the revolute steering joint moves the
+        wheel's heading, not its center)."""
+        x, y, angle = self.hull[0], self.hull[1], self.hull[2]
+        c, s = math.cos(angle), math.sin(angle)
+        out = np.empty((4, 2))
+        for i, (wx_px, wy_px) in enumerate(WHEELPOS):
+            wx, wy = wx_px * SIZE, wy_px * SIZE
+            out[i] = (x + wx * c - wy * s, y + wx * s + wy * c)
+        return out

@@ -275,16 +275,23 @@ class CarRacing(gym.Env, EzPickle):
         info = {}
         if action is not None:
             self.reward -= 0.1
-            # visit the tile under the car
-            idx, dist = self._nearest_tile(self.car.hull[0], self.car.hull[1])
-            if dist <= TRACK_WIDTH and not self.tile_visited[idx]:
-                self.tile_visited[idx] = True
-                self.tile_visited_count += 1
-                self.reward += 1000.0 / len(self.track)
-                if (
-                    self.tile_visited_count / len(self.track) > self.lap_complete_percent
-                ):
-                    self.new_lap = True
+            # The reference's FrictionDetector marks a tile when any WHEEL
+            # begins contact with it (car_racing.py:93-130): four wheels can
+            # straddle a tile boundary and mark two tiles in one step, and at
+            # spawn the wheels mark the tiles directly under the car. A
+            # hull-center-only visit undercounted ~1 tile per random episode
+            # (4.3 SE below the real engine's return distribution).
+            for wx, wy in self.car.wheel_positions():
+                idx, dist = self._nearest_tile(wx, wy)
+                if dist <= TRACK_WIDTH and not self.tile_visited[idx]:
+                    self.tile_visited[idx] = True
+                    self.tile_visited_count += 1
+                    self.reward += 1000.0 / len(self.track)
+                    if (
+                        self.tile_visited_count / len(self.track)
+                        > self.lap_complete_percent
+                    ):
+                        self.new_lap = True
 
             step_reward = self.reward - self.prev_reward
             self.prev_reward = self.reward

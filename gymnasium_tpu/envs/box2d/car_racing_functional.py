@@ -48,7 +48,11 @@ from gymnasium_tpu.functional import FuncEnv
 
 __all__ = ["CarRacingFunctional"]
 
-NUM_TILES = 384  # fixed track length (reference tracks: ~250-320 variable)
+NUM_TILES = 300  # fixed tile count = the reference's mean (299 +- 22 over 40 seeds;
+# its variable-length walker is host control flow). Tile-visit reward is
+# 1000/NUM_TILES per tile, so matching the MEAN count matches the mean
+# per-tile reward; the residual track-length variance is the documented
+# divergence.
 CHECKPOINTS = 12
 TILE_CHUNK = 96  # rasterizer min-reduction chunk (host-parity path)
 # Compaction slots for tiles inside the view rectangle. Only tiles within
@@ -219,14 +223,20 @@ class CarRacingFunctional(FuncEnv):
         y = y + vy * dt
         angle = angle + omega_b * dt
 
-        # tile visiting + reward (car_racing.py:278-297)
-        d2c = jnp.sum((centers - jnp.stack([x, y])) ** 2, axis=-1)
-        idx = jnp.argmin(d2c)
-        near = d2c[idx] <= TRACK_WIDTH**2
-        newly = near & ~state["visited"][idx]
-        visited = state["visited"] | (jnp.arange(NUM_TILES) == idx) & near
+        # tile visiting + reward (car_racing.py:278-297). The reference's
+        # FrictionDetector marks a tile when any WHEEL begins contact — at
+        # spawn that's every tile under the car (~1-2 extra), and a car
+        # straddling tiles marks them all — so visits are counted per wheel
+        # against the d2 matrix already computed for grip.
+        idxw = jnp.argmin(d2, axis=1)  # (4,) nearest tile per wheel
+        nearw = jnp.take_along_axis(d2, idxw[:, None], axis=1)[:, 0] <= TRACK_WIDTH**2
+        marks = jnp.any(
+            (idxw[:, None] == jnp.arange(NUM_TILES)[None, :]) & nearw[:, None], axis=0
+        )
+        newly = marks & ~state["visited"]
+        visited = state["visited"] | marks
         count = jnp.sum(visited)
-        step_reward = -0.1 + jnp.where(newly, 1000.0 / NUM_TILES, 0.0)
+        step_reward = -0.1 + jnp.sum(newly) * (1000.0 / NUM_TILES)
 
         off_field = (jnp.abs(x) > PLAYFIELD) | (jnp.abs(y) > PLAYFIELD)
         lap_done = count >= self.lap_complete_percent * NUM_TILES

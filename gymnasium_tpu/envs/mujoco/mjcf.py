@@ -238,6 +238,7 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
     joint_name_to_dofs: dict[str, list[int]] = {}
     body_name_to_idx: dict[str, int] = {}
     cameras: list[dict] = []  # model-fixed cameras (camera_id render targets)
+    sites: list[dict] = []  # massless reference points (MjData.site_xpos)
 
     def add_dof(body_idx, jtype, axis, anchor, attrs, name):
         limited_attr = attrs.get("limited", "false")
@@ -376,6 +377,17 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
                         yaxis=[float(v) for v in x_ax[3:6]],
                     )
                 )
+            elif child.tag == "site":
+                # massless reference point (reference reads e.g. the IDP
+                # tip via data.site_xpos, test_mujoco_v5.py:486)
+                attrs = defaults.get("site", child, childclass)
+                sites.append(
+                    dict(
+                        body=body_idx,
+                        pos=_parse_vec(attrs.get("pos"), [0.0, 0.0, 0.0]),
+                        name=attrs.get("name", f"site{len(sites)}"),
+                    )
+                )
             elif child.tag == "inertial":
                 imass = float(child.get("mass", 0.0))
                 ipos = _parse_vec(child.get("pos"), [0, 0, 0])
@@ -494,6 +506,12 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
         root_free=(
             bool(dofs) and dofs[0]["name"] == dofs[5]["name"] if len(dofs) >= 6 else False
         ),
+        site_body=np.array([s["body"] for s in sites], dtype=np.int32),
+        site_pos=(
+            np.stack([np.asarray(s["pos"], dtype=np.float64) for s in sites])
+            if sites
+            else np.zeros((0, 3))
+        ),
     )
     meta = {
         "body_names": [b["name"] for b in bodies],
@@ -503,5 +521,6 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
         "render_geoms": render_geoms,
         "has_floor": bool(ground_z is not None and np.isfinite(ground_z)),
         "cameras": cameras,
+        "site_names": [s["name"] for s in sites],
     }
     return model, meta

@@ -112,6 +112,10 @@ def _load_npz_model(name: str) -> tuple[ArticulatedModel, dict]:
         fluid_viscosity=float(data["fluid_viscosity"]) if "fluid_viscosity" in data else 0.0,
         ground_z=float(data["ground_z"]) if "ground_z" in data else 0.0,
         root_free=bool(meta.get("free_root", False)),
+        site_body=(
+            data["site_body"] if "site_body" in data else np.zeros((0,), np.int32)
+        ),
+        site_pos=data["site_pos"] if "site_pos" in data else np.zeros((0, 3)),
     )
     return model, meta
 
@@ -139,6 +143,18 @@ def _compiled_step(name: str, frame_skip: int):
     jdyn = dict(dyn)
     for key in ("fk", "contact_points", "contact_wrenches", "com_world"):
         jdyn[key] = jax.jit(dyn[key])
+    if len(model.site_body):
+        import jax.numpy as jnp
+
+        from gymnasium_tpu.physics.articulated import fk as _fk
+
+        def site_xpos(q):
+            R, p = _fk(model, q)
+            sb = jnp.asarray(model.site_body)
+            sp = jnp.asarray(model.site_pos)
+            return p[sb] + jnp.einsum("nij,nj->ni", R[sb], sp)
+
+        jdyn["site_xpos"] = jax.jit(site_xpos)
     return jax.jit(run), jdyn
 
 
@@ -168,6 +184,13 @@ class _MjDataShim:
         layout; consumed by the reference's ``mass_center`` helper,
         humanoid_v5.py:17-21)."""
         return np.vstack([np.zeros(3), self._env._body_com_positions()])
+
+    @property
+    def site_xpos(self) -> np.ndarray:
+        """(nsite, 3) world site positions in document order (reference
+        reads the IDP tip height via ``data.site_xpos[0][2]``,
+        test_mujoco_v5.py:486-498)."""
+        return self._env._site_positions()
 
 
 class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
@@ -300,6 +323,12 @@ class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
         the engine's equivalent of MuJoCo's ``data.cfrc_ext`` (without the
         world row)."""
         return np.asarray(self._dyn["contact_wrenches"](self.qpos, self.qvel))
+
+    def _site_positions(self) -> np.ndarray:
+        """(nsite, 3) world site positions (MuJoCo ``data.site_xpos``)."""
+        if "site_xpos" not in self._dyn:
+            return np.zeros((0, 3))
+        return np.asarray(self._dyn["site_xpos"](self.qpos))
 
     # -- kinematics helpers ------------------------------------------------
 

@@ -163,8 +163,10 @@ def make_fused_step(model: ArticulatedModel, frame_skip: int = 1, interpret: boo
     # contact material constants (mirror _contact_point_forces)
     if nc:
         m_eff = np.maximum(np.asarray(masses)[np.asarray(model.contact_body)], 1e-3)
-        k_c = np.minimum(model.contact_stiffness, m_eff / dt**2)
-        c_c = 1.4 * np.sqrt(k_c * m_eff)
+        k_c = np.minimum(
+            model.contact_stiffness, m_eff * (model.contact_alpha / dt) ** 2
+        )
+        c_c = model.contact_damp_ratio * np.sqrt(k_c * m_eff)
         contact_k = [float(v) for v in k_c]
         contact_c = [float(v) for v in c_c]
         contact_r = [float(v) for v in model.contact_radius]

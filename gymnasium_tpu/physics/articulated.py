@@ -100,8 +100,19 @@ class ArticulatedModel(NamedTuple):
     fluid_density: float = 0.0
     fluid_viscosity: float = 0.0
     # ground contact material
-    contact_stiffness: float = 10000.0
+    # Flat ceiling on the per-contact penalty spring; the binding bound is
+    # almost always the explicit-stability one (m_eff/dt², see
+    # _contact_point_forces). The old 10000 ceiling bound the HUMANOID
+    # (dt=0.003, 42 kg): its feet penetrated 2-6 cm under fall transients
+    # and it sank through the healthy-z floor ~2.5 steps early, shifting
+    # the whole return distribution (caught by the n=64 parity gate).
+    contact_stiffness: float = 100000.0
     contact_damping: float = 100.0
+    # Contact damping ratio (c = ratio * sqrt(k_c * m_eff)); 2.0 is critical.
+    contact_damp_ratio: float = 1.4
+    # Explicit-stability fraction: k_c <= m_eff * (alpha / dt)^2. alpha = 1
+    # puts the contact spring's half-period at the substep (Nyquist edge).
+    contact_alpha: float = 1.0
     friction: float = 1.0
     limit_stiffness: float = 500.0
     # world ground-plane height; -inf-like when the model has no floor
@@ -110,6 +121,10 @@ class ArticulatedModel(NamedTuple):
     # True when dofs 0-5 form a free root: qpos then has a quaternion at
     # [3:7] (nq = nv + 1) and qvel[3:6] is the body-frame angular velocity
     root_free: bool = False
+    # MuJoCo sites: massless body-frame reference points (document order,
+    # matching MjData.site_xpos row order); world position via FK
+    site_body: np.ndarray = np.zeros((0,), dtype=np.int32)
+    site_pos: np.ndarray = np.zeros((0, 3))
 
     @property
     def nv(self) -> int:
@@ -985,8 +1000,11 @@ def make_dynamics(model: ArticulatedModel):
         m_eff = jnp.asarray(
             np.maximum(np.asarray(model.bodies.mass)[np.asarray(model.contact_body)], 1e-3)
         )
-        k_c = jnp.minimum(model.contact_stiffness, m_eff / model.timestep**2)
-        c_c = 1.4 * jnp.sqrt(k_c * m_eff)
+        k_c = jnp.minimum(
+            model.contact_stiffness,
+            m_eff * (model.contact_alpha / model.timestep) ** 2,
+        )
+        c_c = model.contact_damp_ratio * jnp.sqrt(k_c * m_eff)
 
         depth = radii - (pts[:, 2] - model.ground_z)
         in_contact = depth > 0.0

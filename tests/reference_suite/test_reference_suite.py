@@ -83,8 +83,6 @@ DESELECT = {
     "tests/envs/mujoco/test_mujoco_v5.py::test_model_object_count[v5]": "pins MjModel internals (ngeom/nsensor/ntendon counts)",
     "tests/envs/mujoco/test_mujoco_v5.py::test_model_sensors[v4]": "MuJoCo sensor framework is not modeled",
     "tests/envs/mujoco/test_mujoco_v5.py::test_model_sensors[v5]": "MuJoCo sensor framework is not modeled",
-    "tests/envs/mujoco/test_mujoco_v5.py::test_inverted_double_pendulum_max_height[v5]": "reads data.site_xpos (sites not modeled)",
-    "tests/envs/mujoco/test_mujoco_v5.py::test_inverted_double_pendulum_max_height_old[v4]": "reads data.site_xpos (sites not modeled)",
     # unseeded random policy: episode boundaries vs the step-100 trigger
     # vary per run and the count assertion sometimes misses — the test body
     # carries a TODO acknowledging it (openai/gym#3054); observed flaking
@@ -226,6 +224,7 @@ def test_reference_mujoco_custom_env_suite():
         [
             "tests/envs/mujoco/test_mujoco_custom_env.py",
             "tests/envs/mujoco/test_mujoco_rendering.py",
+            "tests/envs/mujoco/test_mujoco_v3.py",
             "tests/envs/functional/test_core.py",
         ]
     )

@@ -75,6 +75,8 @@ def main() -> None:
             "act_dof": model.act_dof,
             "act_gear": model.act_gear,
             "act_ctrlrange": model.act_ctrlrange,
+            "site_body": model.site_body,
+            "site_pos": model.site_pos,
             "gravity": np.float64(model.gravity),
             "timestep": np.float64(model.timestep),
             "fluid_density": np.float64(model.fluid_density),
