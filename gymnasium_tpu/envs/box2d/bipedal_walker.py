@@ -406,7 +406,7 @@ def walker_step(xp, state, action, world: PlanarWorld = _WORLD):
     gh = ground_height_fn(xp, terrain)
     flags = None
     for _ in range(_SUBSTEPS):
-        bodies, flags = world_step(xp, bodies, world, motor_speed, motor_torque, gh)
+        bodies, flags, _ = world_step(xp, bodies, world, motor_speed, motor_torque, gh)
 
     # ground_contact flags mirror the reference's lower-leg contact
     # listener (any part of the shank box, foot or knee end)

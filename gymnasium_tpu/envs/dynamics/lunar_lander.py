@@ -388,6 +388,7 @@ def initial_state(xp, terrain_uniform, force_uniform2, params: LunarParams):
         )
     bodies = xp.stack([hull] + legs, axis=-2)
     obs0 = observe(xp, bodies, zeros > 1, zeros > 1)
+    n_contacts = 4 + len(LANDER_POLY)
     state = {
         "body": bodies,
         "terrain": terrain,
@@ -397,6 +398,11 @@ def initial_state(xp, terrain_uniform, force_uniform2, params: LunarParams):
         "sleep_timer": zeros,
         "prev_shaping": shaping(xp, obs0),
         "r": zeros,
+        # Box2D-style warm-start impulses (see physics/planar.py:world_step):
+        # without them the hull:leg inertia ratio stalls the velocity solver
+        # and the lander collapses through its legs on touchdown
+        "jimp": xp.zeros(batch_shape + (2, 5)),
+        "cimp": xp.zeros(batch_shape + (n_contacts, 2)),
     }
     # The reference's reset runs one no-op physics tick and returns its obs
     # (reference lunar_lander.py:448: `return self.step(noop)[0]`) — so the
@@ -433,9 +439,17 @@ def full_step(xp, state, action, dispersion, wind, params: LunarParams, continuo
     world = _lander_world(params.gravity)
     gh = lambda px: ground_height(xp, state["terrain"], px)  # noqa: E731
     flags = None
+    warm = (state["jimp"], state["cimp"])
     for _ in range(_SUBSTEPS):
-        bodies, flags = world_step(
-            xp, bodies, world, _MOTOR_SPEED, _MOTOR_TORQUE, gh, external_force=external
+        bodies, flags, warm = world_step(
+            xp,
+            bodies,
+            world,
+            _MOTOR_SPEED,
+            _MOTOR_TORQUE,
+            gh,
+            external_force=external,
+            warm_start=warm,
         )
     leg1 = flags[..., 0] | flags[..., 1]
     leg2 = flags[..., 2] | flags[..., 3]
@@ -472,6 +486,8 @@ def full_step(xp, state, action, dispersion, wind, params: LunarParams, continuo
         "sleep_timer": sleep_timer,
         "prev_shaping": new_shaping,
         "r": reward,
+        "jimp": warm[0],
+        "cimp": warm[1],
     }
 
 

@@ -47,7 +47,11 @@ class InvertedDoublePendulumEnv(MujocoEnv, EzPickle):
             **kwargs,
         )
         # obs = [x, sin q1, sin q2, cos q1, cos q2, v0, v1, v2, constraint]
-        # (the 9th slot is the reference's qfrc_constraint — zero here)
+        # (the 9th slot is the reference's clip(qfrc_constraint, ±10)[0],
+        # inverted_double_pendulum_v5.py:200-210 — here the engine's
+        # joint-limit penalty torque on the cart's slide dof, which is the
+        # only constraint force this model can produce: no contacts, and
+        # qfrc_constraint is ~0 away from the rail limit in both engines)
 
     def _sample_initial_state(self):
         noise = self._reset_noise_scale
@@ -56,13 +60,14 @@ class InvertedDoublePendulumEnv(MujocoEnv, EzPickle):
         return qpos, qvel
 
     def _get_obs(self) -> np.ndarray:
+        qfrc = np.asarray(self._dyn["limit_torques"](self.qpos, self.qvel))
         return np.concatenate(
             [
                 self.qpos[:1],
                 np.sin(self.qpos[1:]),
                 np.cos(self.qpos[1:]),
                 np.clip(self.qvel, -10, 10),
-                [0.0],
+                np.clip(qfrc, -10, 10)[:1],
             ]
         ).astype(np.float64)
 
@@ -104,13 +109,14 @@ class InvertedDoublePendulumFunctional(MujocoFuncEnv):
         import jax.numpy as jnp
 
         q = state["qpos"]
+        qfrc = self._dyn["limit_torques"](q, state["qvel"])
         return jnp.concatenate(
             [
                 q[:1],
                 jnp.sin(q[1:]),
                 jnp.cos(q[1:]),
                 jnp.clip(state["qvel"], -10, 10),
-                jnp.zeros(1),
+                jnp.clip(qfrc, -10, 10)[:1],
             ]
         )
 

@@ -201,8 +201,21 @@ def _geom_mass_props(attrs: dict[str, str], angle_scale: float):
     return mass, center, inertia_body, R, r, length, gtype
 
 
-def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
-    """Compile an MJCF file into an ArticulatedModel + metadata dict."""
+def compile_mjcf(
+    path: str, contact_stiffness: float = 100000.0
+) -> tuple[ArticulatedModel, dict[str, Any]]:
+    """Compile an MJCF file into an ArticulatedModel + metadata dict.
+
+    ``contact_stiffness`` is the per-model default ceiling on each contact's
+    penalty spring (N/m). Geoms carrying an explicit ``solref`` attribute
+    (MuJoCo's per-geom contact-softness channel, (timeconst, dampratio))
+    override it per contact with ``k = m_body / timeconst²`` — the spring
+    whose free oscillation matches the requested time constant. The
+    reference robot XMLs set no solref, so their softness differences are
+    regime differences (impact-dominated vs resting) and are calibrated
+    per model in tools/extract_mujoco_models.py against the zero-action and
+    return-distribution parity gates.
+    """
     tree = ET.parse(path)
     root = tree.getroot()
 
@@ -348,20 +361,37 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
                     # radius is inflated by the pair margin after the floor
                     # is parsed below.
                     gmargin = float(attrs.get("margin", 0.0))
+                    # per-geom contact softness: solref = (timeconst, dampratio)
+                    # with timeconst > 0 requests a contact spring of that
+                    # free-oscillation period (resolved to N/m after body
+                    # masses are final — see the stiffness pass below)
+                    solref_tc = 0.0
+                    if attrs.get("solref") is not None:
+                        sr = _parse_vec(attrs.get("solref"), [0.0, 1.0])
+                        if sr[0] > 0:
+                            solref_tc = float(sr[0])
                     if gtype == "capsule" and length > 0:
                         z = R @ np.array([0.0, 0.0, 1.0])
                         half = length / 2
                         for frac in (-1.0, 0.0, 1.0):
-                            contact_spheres.append((body_idx, com + z * half * frac, r, gmargin))
+                            contact_spheres.append(
+                                (body_idx, com + z * half * frac, r, gmargin, solref_tc)
+                            )
                     elif gtype == "box":
                         sx, sy, sz = _parse_vec(attrs.get("size"), [r, r, r])[:3]
                         for cx in (-sx, sx):
                             for cy in (-sy, sy):
                                 contact_spheres.append(
-                                    (body_idx, com + R @ np.array([cx, cy, -sz]), min(sx, sy, sz) * 0.5, gmargin)
+                                    (
+                                        body_idx,
+                                        com + R @ np.array([cx, cy, -sz]),
+                                        min(sx, sy, sz) * 0.5,
+                                        gmargin,
+                                        solref_tc,
+                                    )
                                 )
                     else:
-                        contact_spheres.append((body_idx, com.copy(), r, gmargin))
+                        contact_spheres.append((body_idx, com.copy(), r, gmargin, solref_tc))
             elif child.tag == "camera":
                 # model-fixed camera (reference XMLs: the trackcom "track"
                 # camera); xyaxes gives the camera's x (right) and y (up)
@@ -434,7 +464,8 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
     # inflate contact radii by the pair margin (geom + floor), mirroring
     # MuJoCo's includemargin force-onset distance
     contact_spheres = [
-        (b, pos, r + gm + floor_margin, gm) for (b, pos, r, gm) in contact_spheres
+        (b, pos, r + gm + floor_margin, gm, tc)
+        for (b, pos, r, gm, tc) in contact_spheres
     ]
 
     # settotalmass: scale all masses/inertias to the target total
@@ -444,6 +475,17 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
         for b in bodies:
             b["mass"] *= scale
             b["inertia"] = b["inertia"] * scale
+
+    # resolve per-contact spring stiffness now that body masses are final:
+    # geom solref timeconst tc ⇒ k = m_body / tc²; otherwise the per-model
+    # default ceiling (the explicit-stability bound still clamps at runtime,
+    # physics/articulated.py _contact_point_forces)
+    contact_k = np.array(
+        [
+            (bodies[b]["mass"] / (tc * tc)) if tc > 0 else contact_stiffness
+            for (b, _pos, _r, _gm, tc) in contact_spheres
+        ]
+    )
 
     # actuators
     act_dof, act_gear, act_ctrlrange = [], [], []
@@ -502,6 +544,7 @@ def compile_mjcf(path: str) -> tuple[ArticulatedModel, dict[str, Any]]:
         timestep=timestep,
         fluid_density=fluid_density,
         fluid_viscosity=fluid_viscosity,
+        contact_stiffness=contact_k,
         ground_z=ground_z,
         root_free=(
             bool(dofs) and dofs[0]["name"] == dofs[5]["name"] if len(dofs) >= 6 else False

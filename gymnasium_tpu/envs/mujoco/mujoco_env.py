@@ -103,6 +103,9 @@ def _load_npz_model(name: str) -> tuple[ArticulatedModel, dict]:
         contact_body=data["contact_body"],
         contact_pos=data["contact_pos"],
         contact_radius=data["contact_radius"],
+        contact_stiffness=(
+            data["contact_stiffness"] if "contact_stiffness" in data else 100000.0
+        ),
         act_dof=data["act_dof"],
         act_gear=data["act_gear"],
         act_ctrlrange=data["act_ctrlrange"],
@@ -141,7 +144,7 @@ def _compiled_step(name: str, frame_skip: int):
     # eager op-by-op dispatch made a Humanoid step ~1.8s — jit them once per
     # model, shared across env instances through this cache
     jdyn = dict(dyn)
-    for key in ("fk", "contact_points", "contact_wrenches", "com_world"):
+    for key in ("fk", "contact_points", "contact_wrenches", "com_world", "limit_torques"):
         jdyn[key] = jax.jit(dyn[key])
     if len(model.site_body):
         import jax.numpy as jnp

@@ -100,13 +100,17 @@ class ArticulatedModel(NamedTuple):
     fluid_density: float = 0.0
     fluid_viscosity: float = 0.0
     # ground contact material
-    # Flat ceiling on the per-contact penalty spring; the binding bound is
-    # almost always the explicit-stability one (m_eff/dt², see
-    # _contact_point_forces). The old 10000 ceiling bound the HUMANOID
-    # (dt=0.003, 42 kg): its feet penetrated 2-6 cm under fall transients
-    # and it sank through the healthy-z floor ~2.5 steps early, shifting
-    # the whole return distribution (caught by the n=64 parity gate).
-    contact_stiffness: float = 100000.0
+    # Ceiling on the per-contact penalty spring: a scalar, or a (nc,) array
+    # for per-geom values (emitted by the MJCF compiler from geom solref
+    # and per-model calibration — see mjcf.compile_mjcf). The binding bound
+    # is almost always the explicit-stability one (m_eff/dt², see
+    # _contact_point_forces). One global knob demonstrably cannot serve all
+    # robots: 100000 fixed the HUMANOID's feet (they penetrated 2-6 cm
+    # under fall transients at 10000 and it sank through the healthy-z
+    # floor ~2.5 steps early) but kicked the supine HUMANOIDSTANDUP off
+    # the floor (zero-action deviation 0.195 → 1.59 vs MuJoCo), so the
+    # standup model carries a per-model 10000 in its compiled spec.
+    contact_stiffness: Any = 100000.0
     contact_damping: float = 100.0
     # Contact damping ratio (c = ratio * sqrt(k_c * m_eff)); 2.0 is critical.
     contact_damp_ratio: float = 1.4
@@ -1001,7 +1005,7 @@ def make_dynamics(model: ArticulatedModel):
             np.maximum(np.asarray(model.bodies.mass)[np.asarray(model.contact_body)], 1e-3)
         )
         k_c = jnp.minimum(
-            model.contact_stiffness,
+            jnp.asarray(model.contact_stiffness, dtype=m_eff.dtype),
             m_eff * (model.contact_alpha / model.timestep) ** 2,
         )
         c_c = model.contact_damp_ratio * jnp.sqrt(k_c * m_eff)
@@ -1100,6 +1104,10 @@ def make_dynamics(model: ArticulatedModel):
         "mass_matrix": mass_matrix,
         "bias": bias,
         "contact_wrenches": contact_wrenches,
+        # per-dof constraint (joint-limit penalty) torques — the engine's
+        # ``data.qfrc_constraint`` analogue (reference
+        # inverted_double_pendulum_v5.py:200-210 reads it into the obs)
+        "limit_torques": limit_torques,
         "kinetic_energy": kinetic_energy,
         "potential": potential,
         "com_world": com_world,

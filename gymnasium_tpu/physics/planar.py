@@ -95,6 +95,7 @@ def world_step(
     motor_torque,
     ground_height_fn,
     external_force=None,
+    warm_start=None,
 ):
     """Advance the world one ``dt``.
 
@@ -105,9 +106,23 @@ def world_step(
         motor_torque: (J,) max motor torques (0 disables a motor).
         ground_height_fn: ``f(x) -> ground_y`` heightfield callback.
         external_force: optional (B, 3) [fx, fy, torque] per body.
+        warm_start: optional ``(j_imp (..., J, 5), c_imp (..., C, 2))`` —
+            the previous step's accumulated impulses, applied up front and
+            used to seed the accumulators (Box2D warm starting,
+            b2Island::Solve → initVelocityConstraints). Without it the
+            sequential solver stalls in a limit cycle on heavy-on-light
+            chains (LunarLander hull:leg inertia ratio ~3000): each
+            iteration's motor/support impulse is undone by the point
+            constraint, the hull never stops sinking, and the legs splay
+            until the hull strikes the ground. Warm starting lets the
+            support force build across steps exactly like Box2D's resting
+            stacks.
 
     Returns:
-        (new_state, contact_flags) where contact_flags is (C,) bool.
+        ``(new_state, contact_flags, (j_imp, c_imp))`` where contact_flags
+        is (C,) bool and the impulse arrays feed the next call's
+        ``warm_start``. Joint impulse rows are ``[motor, low, up, px, py]``;
+        contact rows ``[normal, tangent]``.
     """
     dt = world.dt
     inv_m = xp.asarray(world.bodies.inv_mass)
@@ -173,6 +188,34 @@ def world_step(
     acc_up = [zero] * J
     acc_n = [zero] * C
     acc_t = [zero] * C
+    acc_jx = [zero] * J
+    acc_jy = [zero] * J
+    if warm_start is not None:
+        j_imp, c_imp = warm_start
+        for j in range(J):
+            a, b, rax, ray, rbx, rby = joint_arms[j]
+            wm = j_imp[..., j, 0]
+            wl = j_imp[..., j, 1]
+            wu = j_imp[..., j, 2]
+            px = j_imp[..., j, 3]
+            py = j_imp[..., j, 4]
+            ang_l = wm + wl + wu
+            acc_motor[j], acc_low[j], acc_up[j] = wm, wl, wu
+            acc_jx[j], acc_jy[j] = px, py
+            vel = _add_at2(xp, vel, a, -px * inv_m[a], -py * inv_m[a])
+            vel = _add_at2(xp, vel, b, px * inv_m[b], py * inv_m[b])
+            omega = _add_at(xp, omega, a, -((rax * py - ray * px) + ang_l) * inv_i[a])
+            omega = _add_at(xp, omega, b, ((rbx * py - rby * px) + ang_l) * inv_i[b])
+        for k in range(C):
+            b, rx, ry, depth = contact_data[k]
+            # a separated contact drops its stored impulse (Box2D destroys
+            # the contact constraint when the AABBs separate)
+            live = depth > 0.0
+            jn = xp.where(live, c_imp[..., k, 0], 0.0)
+            jt = xp.where(live, c_imp[..., k, 1], 0.0)
+            acc_n[k], acc_t[k] = jn, jt
+            vel = _add_at2(xp, vel, b, jt * inv_m[b], jn * inv_m[b])
+            omega = _add_at(xp, omega, b, (rx * jn - ry * jt) * inv_i[b])
     for _ in range(world.velocity_iterations):
         # joint motors + limits
         for j in range(J):
@@ -228,6 +271,8 @@ def world_step(
             det = xp.where(xp.abs(det) < 1e-12, 1e-12, det)
             ix = -(k22 * cdx - k12 * cdy) / det
             iy = -(k11 * cdy - k12 * cdx) / det
+            acc_jx[j] = acc_jx[j] + ix
+            acc_jy[j] = acc_jy[j] + iy
 
             vel = _add_at2(xp, vel, a, -ix * inv_m[a], -iy * inv_m[a])
             vel = _add_at2(xp, vel, b, ix * inv_m[b], iy * inv_m[b])
@@ -342,7 +387,17 @@ def world_step(
         [pos, angle[..., None], vel, omega[..., None]], axis=-1
     )
     contact_flags = xp.stack([cd[3] > 0.0 for cd in contact_data], axis=-1)
-    return new_state, contact_flags
+    j_imp_out = xp.stack(
+        [
+            xp.stack([acc_motor[j], acc_low[j], acc_up[j], acc_jx[j], acc_jy[j]], axis=-1)
+            for j in range(J)
+        ],
+        axis=-2,
+    ) if J else xp.zeros(angle.shape[:-1] + (0, 5))
+    c_imp_out = xp.stack(
+        [xp.stack([acc_n[k], acc_t[k]], axis=-1) for k in range(C)], axis=-2
+    ) if C else xp.zeros(angle.shape[:-1] + (0, 2))
+    return new_state, contact_flags, (j_imp_out, c_imp_out)
 
 
 def _add_at(xp, arr, idx: int, delta):

@@ -193,19 +193,28 @@ def _episode_returns(make, env_id, n_episodes, horizon, seed0=0):
 # a lower bar (soft-contact model vs constraint solver shifts the tails)
 RETURN_DISTRIBUTION_ROBOTS = [
     "InvertedPendulum-v5",
+    "InvertedDoublePendulum-v5",
     "Reacher-v5",
+    "Pusher-v5",
     "Swimmer-v5",
     "HalfCheetah-v5",
     "Hopper-v5",
     "Walker2d-v5",
     "Ant-v5",
     "Humanoid-v5",
+    "HumanoidStandup-v5",
 ]
 
 
 # long-horizon robots (VERDICT r2 #5): locomotion returns only separate
 # engines after hundreds of steps of accumulated contact dynamics
-LONG_HORIZON = {"HalfCheetah-v5": 500, "Hopper-v5": 500, "Walker2d-v5": 500, "Ant-v5": 500}
+LONG_HORIZON = {
+    "HalfCheetah-v5": 500,
+    "Hopper-v5": 500,
+    "Walker2d-v5": 500,
+    "Ant-v5": 500,
+    "Humanoid-v5": 500,
+}
 
 # Per-robot gate overrides for documented divergences; empty since the
 # round-3 margin fix (MuJoCo's includemargin force-onset inflates ant feet

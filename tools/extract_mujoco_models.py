@@ -40,6 +40,29 @@ MODELS = [
     "pusher_v5",
 ]
 
+# Per-model default contact-spring ceiling (N/m). The reference XMLs carry no
+# per-geom solref, so contact softness is calibrated per model against the
+# parity gates (tests/envs/test_mujoco_parity.py): 100000 keeps the standing
+# HUMANOID's feet from sinking through the healthy-z floor under fall
+# transients, while the supine HUMANOIDSTANDUP needs MuJoCo's soft-contact
+# regime (stiff springs kick the resting torso off the floor: zero-action
+# deviation 1.59 vs 0.195 at 10000).
+CONTACT_STIFFNESS = {
+    "humanoidstandup": 10000.0,
+}
+DEFAULT_CONTACT_STIFFNESS = 100000.0
+
+# Per-model contact radius lift (m): shifts the force-onset surface outward
+# the way MuJoCo's includemargin does, so a soft spring can carry its static
+# load without sitting measurably below the real engine. humanoidstandup's
+# reward integrates torso HEIGHT (uph_cost), so the supine body's ~8.8 mm of
+# penalty-spring penetration (measured vs live MuJoCo: ref z 0.0873 vs ours
+# 0.0785 after 100 zero-action settle steps) showed up directly as a -10%
+# return bias at the n=64 distribution gate.
+CONTACT_LIFT = {
+    "humanoidstandup": 0.0085,
+}
+
 
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
@@ -48,7 +71,14 @@ def main() -> None:
         if not os.path.exists(path):
             print(f"skip {name}: no asset")
             continue
-        model, meta = compile_mjcf(path)
+        model, meta = compile_mjcf(
+            path,
+            contact_stiffness=CONTACT_STIFFNESS.get(name, DEFAULT_CONTACT_STIFFNESS),
+        )
+        if name in CONTACT_LIFT:
+            model = model._replace(
+                contact_radius=model.contact_radius + CONTACT_LIFT[name]
+            )
         arrays = {
             "bodies_parent": model.bodies.parent,
             "bodies_pos": model.bodies.pos,
@@ -72,6 +102,7 @@ def main() -> None:
             "contact_body": model.contact_body,
             "contact_pos": model.contact_pos,
             "contact_radius": model.contact_radius,
+            "contact_stiffness": np.asarray(model.contact_stiffness, dtype=np.float64),
             "act_dof": model.act_dof,
             "act_gear": model.act_gear,
             "act_ctrlrange": model.act_ctrlrange,
