@@ -405,8 +405,14 @@ def walker_step(xp, state, action, world: PlanarWorld = _WORLD):
 
     gh = ground_height_fn(xp, terrain)
     flags = None
+    # warm-start impulses persist across ticks (Box2D b2Island behavior;
+    # see physics/planar.py) — without them the sequential solver cannot
+    # build the sustained knee/contact support forces a standing leg needs
+    warm = (state["jimp"], state["cimp"]) if "jimp" in state else None
     for _ in range(_SUBSTEPS):
-        bodies, flags, _ = world_step(xp, bodies, world, motor_speed, motor_torque, gh)
+        bodies, flags, warm = world_step(
+            xp, bodies, world, motor_speed, motor_torque, gh, warm_start=warm
+        )
 
     # ground_contact flags mirror the reference's lower-leg contact
     # listener (any part of the shank box, foot or knee end)
@@ -437,6 +443,8 @@ def walker_step(xp, state, action, world: PlanarWorld = _WORLD):
         "prev_shaping": shaping,
         "done": terminated,
         "r": reward,
+        "jimp": warm[0],
+        "cimp": warm[1],
     }, obs
 
 
@@ -489,6 +497,8 @@ class BipedalWalker(gym.Env[np.ndarray, np.ndarray], EzPickle):
             "prev_shaping": np.asarray(0.0),
             "done": np.asarray(False),
             "r": np.asarray(0.0),
+            "jimp": np.zeros((len(_WORLD.joints.body_a), 5)),
+            "cimp": np.zeros((len(_WORLD.contacts.body), 2)),
         }
         # the reference's reset ends with `return self.step([0,0,0,0])[0]`
         # (bipedal_walker.py:520): one zero-action settle tick whose reward
@@ -607,6 +617,8 @@ class BipedalWalkerFunctional(FuncEnv):
             "prev_shaping": jnp.zeros(()),
             "done": jnp.zeros((), bool),
             "r": jnp.zeros(()),
+            "jimp": jnp.zeros((len(_WORLD.joints.body_a), 5)),
+            "cimp": jnp.zeros((len(_WORLD.contacts.body), 2)),
         }
         # reference reset runs one zero-action settle tick (see host reset)
         state, _ = walker_step(jnp, state, jnp.zeros(4))

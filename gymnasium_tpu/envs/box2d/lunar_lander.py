@@ -248,6 +248,141 @@ class LunarLanderFunctional(FuncEnv):
             action = jnp.clip(jnp.asarray(action, jnp.float32), -1.0, 1.0)
         return dyn.full_step(jnp, state, action, dispersion, wind, params, self.continuous)
 
+    #: fused-kernel engagement: "auto" (TPU backend), "off" (always vmap),
+    #: "interpret" (Pallas interpreter — any backend; CPU mesh tests)
+    fused_kernel_mode: str = "auto"
+
+    def _get_fused(self, num_envs: int, sharding: Any = None):
+        """The fused Pallas planar stepper for this batch shape, or None
+        when it cannot engage (non-TPU backend, non-multiple batch)."""
+        import jax
+
+        from gymnasium_tpu.ops.pallas_planar import BLOCK_ENVS
+
+        mode = self.fused_kernel_mode
+        if mode == "off":
+            return None
+        interpret = mode == "interpret"
+        if not interpret and jax.default_backend() != "tpu":
+            return None
+
+        env_axes: tuple = ()
+        n_shards = 1
+        if sharding is not None and getattr(sharding, "spec", None):
+            first = sharding.spec[0]
+            if first is not None:
+                env_axes = first if isinstance(first, tuple) else (first,)
+                n_shards = int(np.prod([sharding.mesh.shape[a] for a in env_axes]))
+        if num_envs % (BLOCK_ENVS * n_shards) != 0:
+            return None
+
+        cache_key = (interpret, float(self._default_params.gravity))
+        if getattr(self, "_fused_cache", None) is None or self._fused_cache[0] != cache_key:
+            from gymnasium_tpu.ops.pallas_planar import make_fused_planar_step
+
+            world = dyn._lander_world(float(self._default_params.gravity))
+            self._fused_cache = (
+                cache_key,
+                make_fused_planar_step(
+                    world,
+                    dyn.CHUNKS,
+                    dyn.W / (dyn.CHUNKS - 1),
+                    dyn._MOTOR_SPEED,
+                    dyn._MOTOR_TORQUE,
+                    substeps=dyn._SUBSTEPS,
+                    interpret=interpret,
+                ),
+            )
+        fused = self._fused_cache[1]
+
+        if n_shards > 1:
+            try:
+                from jax import shard_map
+            except ImportError:  # older JAX
+                from jax.experimental.shard_map import shard_map
+
+            P = jax.sharding.PartitionSpec
+            spec = P(env_axes if len(env_axes) > 1 else env_axes[0])
+            kwargs = dict(
+                mesh=sharding.mesh,
+                in_specs=(spec,) * 5,
+                out_specs=(spec,) * 4,
+            )
+            for check_kw in ({"check_vma": False}, {"check_rep": False}, {}):
+                try:
+                    fused = shard_map(fused, **kwargs, **check_kw)
+                    break
+                except TypeError:
+                    continue
+        return fused
+
+    def initial_batched(self, rng, num_envs: int, params: dyn.LunarParams | None = None):
+        """Natively-batched reset: fused draws + the Pallas kernel for the
+        reference's settle tick. Folded into EVERY autoreset step by
+        make_autoreset_step, so it must not fall back to the ~10k-op
+        vmapped solver on the hot path (doing so capped the fused lander
+        at 0.4M env-steps/s — the reset branch dominated the program)."""
+        import jax
+        import jax.numpy as jnp
+
+        p = params or self._default_params
+        fused = self._get_fused(num_envs, getattr(self, "_last_sharding", None))
+        if fused is None:
+            keys = jax.random.split(rng, num_envs)
+            return jax.vmap(self.initial, in_axes=(0, None))(keys, params)
+        k_terrain, k_force = jax.random.split(rng)
+        terrain_u = jax.random.uniform(k_terrain, (num_envs, dyn.CHUNKS + 1))
+        force_u = jax.random.uniform(k_force, (num_envs, 2), minval=-1.0, maxval=1.0)
+        state = dyn.initial_state_pre(jnp, terrain_u, force_u, p)
+        external = jnp.zeros((num_envs, 3, 3))
+        bodies, jimp, cimp, flags = fused(
+            state["body"], external, state["terrain"], state["jimp"], state["cimp"]
+        )
+        return dyn.finish_step(jnp, state, bodies, (jimp, cimp), flags, 0.0, 0.0, p)
+
+    def transition_batched(self, num_envs: int, sharding: Any = None):
+        """Natively-batched transition: the fused Pallas planar kernel
+        (ops/pallas_planar.py) runs both solver substeps — warm-started
+        sequential impulses + NGS position pass — as ONE program per
+        1024-env block; engines/wind/reward stay in plain XLA (≈50 ops).
+        The vmapped XLA solver ran the same math as ~10k tiny per-op
+        dispatches (206K env-steps/s, BENCH_r04 vs_baseline 0.0041). Same
+        gating scheme as MujocoFuncEnv.transition_batched."""
+        import jax
+
+        fused = self._get_fused(num_envs, sharding)
+        if fused is None:
+            return None
+        self._last_sharding = sharding
+
+        def step_batch(state, action, rng, params=None):
+            import jax.numpy as jnp
+
+            p = params or self._default_params
+            k_disp, k_wind = jax.random.split(rng)
+            dispersion = jax.random.uniform(
+                k_disp, (num_envs, 2), minval=-1.0, maxval=1.0
+            )
+            if self.enable_wind:
+                wind = jax.random.uniform(
+                    k_wind, (num_envs, 2), minval=-1.0, maxval=1.0
+                ) * jnp.asarray([p.wind_power, p.turbulence_power])
+            else:
+                wind = jnp.zeros((num_envs, 2))
+            if self.continuous:
+                action = jnp.clip(jnp.asarray(action, jnp.float32), -1.0, 1.0)
+            external, m_power, s_power = dyn.engine_external(
+                jnp, state, action, dispersion, wind, p, self.continuous
+            )
+            bodies, jimp, cimp, flags = fused(
+                state["body"], external, state["terrain"], state["jimp"], state["cimp"]
+            )
+            return dyn.finish_step(
+                jnp, state, bodies, (jimp, cimp), flags, m_power, s_power, p
+            )
+
+        return step_batch
+
     def observation(self, state, rng, params: dyn.LunarParams | None = None):
         import jax.numpy as jnp
 

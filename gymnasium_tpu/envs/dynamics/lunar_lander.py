@@ -351,8 +351,8 @@ def shaping(xp, obs):
     )
 
 
-def initial_state(xp, terrain_uniform, force_uniform2, params: LunarParams):
-    """Initial episode state dict.
+def initial_state_pre(xp, terrain_uniform, force_uniform2, params: LunarParams):
+    """The creation-pose state dict BEFORE the reference's settle tick.
 
     ``terrain_uniform``: (..., CHUNKS) uniform(0,1) draws;
     ``force_uniform2``: (..., 2) uniform(-1,1) draws for the initial kick
@@ -404,25 +404,31 @@ def initial_state(xp, terrain_uniform, force_uniform2, params: LunarParams):
         "jimp": xp.zeros(batch_shape + (2, 5)),
         "cimp": xp.zeros(batch_shape + (n_contacts, 2)),
     }
-    # The reference's reset runs one no-op physics tick and returns its obs
-    # (reference lunar_lander.py:448: `return self.step(noop)[0]`) — so the
-    # first observation shows one tick of free fall under the initial kick
-    # while the position solver assembles the legs. No engines fire, so the
-    # dispersion draw is irrelevant; wind is omitted for this single tick.
+    return state
+
+
+def initial_state(xp, terrain_uniform, force_uniform2, params: LunarParams):
+    """Initial episode state: creation pose + the reference's settle tick.
+
+    The reference's reset runs one no-op physics tick and returns its obs
+    (reference lunar_lander.py:448: ``return self.step(noop)[0]``) — so the
+    first observation shows one tick of free fall under the initial kick
+    while the position solver assembles the legs. No engines fire, so the
+    dispersion draw is irrelevant; wind is omitted for this single tick.
+    """
+    state = initial_state_pre(xp, terrain_uniform, force_uniform2, params)
+    batch_shape = terrain_uniform.shape[:-1]
     noop = xp.zeros(batch_shape, dtype=xp.int32)
     wind0 = xp.zeros(batch_shape + (2,))
     return full_step(xp, state, noop, wind0, wind0, params, continuous=False)
 
 
-def full_step(xp, state, action, dispersion, wind, params: LunarParams, continuous: bool):
-    """One complete LunarLander tick: engines, planar substeps, reward.
+def engine_external(xp, state, action, dispersion, wind, params: LunarParams, continuous: bool):
+    """Engine activation + impulses -> per-body external force rows.
 
-    ``dispersion``: (..., 2) uniform(-1,1); ``wind``: (..., 2) wind/torque
-    terms (zeros when wind disabled). Returns the next state dict with the
-    step's reward in ``"r"`` and termination in ``"done"``.
+    Returns ``(external (..., 3, 3), m_power, s_power)``.
     """
-    bodies = state["body"]
-    hull = bodies[..., 0, :]
+    hull = state["body"][..., 0, :]
     m_power, s_direction, s_power = engine_activation(xp, action, continuous)
     jx, jy, torque = engine_impulses(xp, hull, m_power, s_direction, s_power, dispersion, params)
 
@@ -435,22 +441,12 @@ def full_step(xp, state, action, dispersion, wind, params: LunarParams, continuo
     hull_force = xp.stack([jx / params.dt, jy / params.dt, torque / params.dt], axis=-1)
     leg_force = xp.stack([zeros, zeros, zeros], axis=-1)
     external = xp.stack([hull_force, leg_force, leg_force], axis=-2)
+    return external, m_power, s_power
 
-    world = _lander_world(params.gravity)
-    gh = lambda px: ground_height(xp, state["terrain"], px)  # noqa: E731
-    flags = None
-    warm = (state["jimp"], state["cimp"])
-    for _ in range(_SUBSTEPS):
-        bodies, flags, warm = world_step(
-            xp,
-            bodies,
-            world,
-            _MOTOR_SPEED,
-            _MOTOR_TORQUE,
-            gh,
-            external_force=external,
-            warm_start=warm,
-        )
+
+def finish_step(xp, state, bodies, warm, flags, m_power, s_power, params: LunarParams):
+    """Post-solver tail shared by the XLA and fused-Pallas paths: contact
+    flags -> legs/crash, sleep detection, shaped reward, next state dict."""
     leg1 = flags[..., 0] | flags[..., 1]
     leg2 = flags[..., 2] | flags[..., 3]
     hull_contact = flags[..., 4]
@@ -489,6 +485,35 @@ def full_step(xp, state, action, dispersion, wind, params: LunarParams, continuo
         "jimp": warm[0],
         "cimp": warm[1],
     }
+
+
+def full_step(xp, state, action, dispersion, wind, params: LunarParams, continuous: bool):
+    """One complete LunarLander tick: engines, planar substeps, reward.
+
+    ``dispersion``: (..., 2) uniform(-1,1); ``wind``: (..., 2) wind/torque
+    terms (zeros when wind disabled). Returns the next state dict with the
+    step's reward in ``"r"`` and termination in ``"done"``.
+    """
+    external, m_power, s_power = engine_external(
+        xp, state, action, dispersion, wind, params, continuous
+    )
+    world = _lander_world(params.gravity)
+    gh = lambda px: ground_height(xp, state["terrain"], px)  # noqa: E731
+    bodies = state["body"]
+    flags = None
+    warm = (state["jimp"], state["cimp"])
+    for _ in range(_SUBSTEPS):
+        bodies, flags, warm = world_step(
+            xp,
+            bodies,
+            world,
+            _MOTOR_SPEED,
+            _MOTOR_TORQUE,
+            gh,
+            external_force=external,
+            warm_start=warm,
+        )
+    return finish_step(xp, state, bodies, warm, flags, m_power, s_power, params)
 
 
 def engine_activation(xp, action, continuous: bool):
