@@ -3,6 +3,7 @@
 from gymnasium_tpu.parallel.mesh import (
     gather_trajectory,
     make_mesh,
+    make_mesh_two_level,
     replicated,
     scaling_report,
     shard_env_batch,
@@ -11,6 +12,7 @@ from gymnasium_tpu.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "make_mesh_two_level",
     "shard_env_batch",
     "replicated",
     "shard_ppo_state",

@@ -47,8 +47,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_env_batch(tree: Any, mesh: Mesh, batch_size: int | None = None, axis: str = "dp") -> Any:
-    """Place a batched env pytree with its leading axis split over ``axis``.
+def make_mesh_two_level(
+    devices: Sequence[jax.Device] | None = None, hosts: int = 2
+) -> Mesh:
+    """A ``(hosts, chips)`` mesh: the multi-host factorization of SURVEY
+    §5.8 (ICI inside a host row, DCN across rows). The env batch shards over
+    BOTH axes; env stepping needs no collective on either, learner
+    all-reduces span both (XLA reduces hierarchically: chips over ICI, then
+    hosts over DCN)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    assert n % hosts == 0, f"device count {n} not divisible by hosts={hosts}"
+    grid = np.asarray(devices).reshape(hosts, n // hosts)
+    return Mesh(grid, ("hosts", "chips"))
+
+
+def shard_env_batch(
+    tree: Any,
+    mesh: Mesh,
+    batch_size: int | None = None,
+    axis: str | tuple = "dp",
+) -> Any:
+    """Place a batched env pytree with its leading axis split over ``axis``
+    (one mesh axis name, or a tuple of names for multi-level meshes, e.g.
+    ``("hosts", "chips")``).
 
     Leaves whose leading dimension equals ``batch_size`` (inferred from the
     largest common leading dim when ``None``) shard over ``axis``; everything
@@ -117,13 +140,14 @@ def scaling_report(step_fn, args, mesh: Mesh, iters: int = 10) -> dict:
     }
 
 
-def shard_ppo_state(state: Any, mesh: Mesh) -> Any:
+def shard_ppo_state(state: Any, mesh: Mesh, axis: str | tuple = "dp") -> Any:
     """Lay out a :class:`~gymnasium_tpu.train.PPOState` on ``mesh``.
 
-    Env carry (including its batched PRNG state) shards over ``dp``; params
-    and optimizer state replicate (sharding the MLP hidden axis over ``tp``
-    is profitable only for much larger models — XLA still runs the replicated
-    matmuls data-parallel over the dp-sharded batch).
+    Env carry (including its batched PRNG state) shards over ``axis``
+    (default the ``dp`` axis; pass ``("hosts", "chips")`` on a two-level
+    mesh); params and optimizer state replicate (sharding the MLP hidden
+    axis over ``tp`` is profitable only for much larger models — XLA still
+    runs the replicated matmuls data-parallel over the dp-sharded batch).
     """
     from gymnasium_tpu.train.ppo import PPOState
 
@@ -133,8 +157,8 @@ def shard_ppo_state(state: Any, mesh: Mesh) -> Any:
         opt_state=jax.device_put(state.opt_state, replicated(mesh)),
         # WrappedEnvCarry shards too: per-env leaves (frame buffers, return
         # accumulators) split over dp, shared stats (RMS mean/var) replicate.
-        env_carry=shard_env_batch(state.env_carry, mesh, batch_size=num_envs),
-        obs=shard_env_batch(state.obs, mesh, batch_size=num_envs),
+        env_carry=shard_env_batch(state.env_carry, mesh, batch_size=num_envs, axis=axis),
+        obs=shard_env_batch(state.obs, mesh, batch_size=num_envs, axis=axis),
         rng=jax.device_put(state.rng, replicated(mesh)),
         update_count=jax.device_put(state.update_count, replicated(mesh)),
     )

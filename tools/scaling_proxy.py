@@ -52,6 +52,56 @@ def count_collectives(hlo_text: str) -> dict[str, int]:
     return counts
 
 
+def _expand_replica_groups(spec: str) -> list[list[int]]:
+    """Expand an HLO ``replica_groups=`` spec into explicit device groups.
+
+    Handles the explicit form ``{{0,1},{2,3}}`` and the iota form
+    ``[G,S]<=[d0,d1,...]T(p...)`` (reshape ``arange(prod(d))`` to ``d``,
+    transpose by ``p``, flatten, reshape to ``(G, S)``)."""
+    import numpy as np
+
+    spec = spec.strip()
+    if spec.startswith("{"):
+        groups = []
+        for grp in re.findall(r"\{([0-9,\s]+)\}", spec):
+            groups.append([int(v) for v in grp.split(",") if v.strip()])
+        return groups
+    m = re.match(r"\[([0-9,]+)\]<=\[([0-9,]+)\](?:T\(([0-9,]+)\))?", spec)
+    assert m, f"unrecognized replica_groups spec: {spec!r}"
+    out_shape = [int(v) for v in m.group(1).split(",")]
+    iota_shape = [int(v) for v in m.group(2).split(",")]
+    ids = np.arange(int(np.prod(iota_shape))).reshape(iota_shape)
+    if m.group(3):
+        ids = ids.transpose([int(v) for v in m.group(3).split(",")])
+    return ids.reshape(out_shape).tolist()
+
+
+def count_collectives_by_axis(hlo_text: str, hosts: int, chips: int) -> dict:
+    """Classify each collective by which mesh axis its groups span.
+
+    Device ``d`` sits at ``(host, chip) = divmod(d, chips)`` (row-major
+    two-level mesh). A group spanning several hosts but one chip column is
+    DCN traffic; several chips within one host is ICI; both is hierarchical
+    (XLA's usual full-mesh all-reduce)."""
+    out = {"hosts": 0, "chips": 0, "both": 0, "intra": 0}
+    pattern = (
+        r"= \S+ (?:"
+        + "|".join(COLLECTIVE_OPS)
+        + r")(?:-start)?\([^\n]*?replica_groups=(\{\{[^=]*?\}\}|\[[0-9,]+\]<=\[[0-9,]+\](?:T\([0-9,]+\))?)"
+    )
+    for spec in re.findall(pattern, hlo_text):
+        for group in _expand_replica_groups(spec):
+            if len(group) <= 1:
+                out["intra"] += 1
+                continue
+            h_span = len({d // chips for d in group}) > 1
+            c_span = len({d % chips for d in group}) > 1
+            key = "both" if (h_span and c_span) else ("hosts" if h_span else "chips")
+            out[key] += 1
+            break  # one classification per instruction (groups are uniform)
+    return out
+
+
 def _flops(compiled) -> float:
     cost = compiled.cost_analysis()
     if isinstance(cost, (list, tuple)):
@@ -131,6 +181,145 @@ def analyze_ppo_step(devices, num_envs_total: int) -> dict:
     }
 
 
+def analyze_two_level(devices, hosts: int, num_envs_total: int) -> dict:
+    """The SURVEY §5.8 multi-host story on a ``Mesh(("hosts","chips"))``:
+
+    - env step: env batch sharded over BOTH axes must lower to ZERO
+      collectives on either axis (each device steps its own lanes; ICI and
+      DCN both idle during rollout);
+    - PPO train step: learner gradient all-reduces span both axes (XLA
+      reduces hierarchically — ICI first, DCN across hosts);
+    - trajectory egress: gathering a two-level-sharded trajectory to the
+      replicated learner layout is all-gather traffic on both axes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gymnasium_tpu.envs.phys2d.cartpole import CartPoleFunctional
+    from gymnasium_tpu.parallel import make_mesh_two_level, replicated, shard_ppo_state
+    from gymnasium_tpu.train.ppo import PPOConfig, init_ppo, make_train_step
+    from gymnasium_tpu.vector.jax_vector_env import JaxVectorEnv
+
+    chips = len(devices) // hosts
+    mesh = make_mesh_two_level(devices, hosts=hosts)
+    P = jax.sharding.PartitionSpec
+    env_sharding = jax.sharding.NamedSharding(mesh, P(("hosts", "chips")))
+
+    # --- env rollout step: zero collectives on either axis -----------------
+    env = JaxVectorEnv(
+        CartPoleFunctional(),
+        num_envs=num_envs_total,
+        max_episode_steps=64,
+        seed=0,
+        sharding=env_sharding,
+    )
+    env.reset(seed=0)
+    actions = jax.device_put(jnp.zeros((num_envs_total,), jnp.int32), env_sharding)
+    step_hlo = jax.jit(env._make_step()).lower(env.carry, actions).compile().as_text()
+
+    # --- PPO train step over the two-level mesh ----------------------------
+    config = PPOConfig(
+        num_envs=num_envs_total,
+        rollout_steps=8,
+        hidden_sizes=(32, 32),
+        num_minibatches=2,
+        update_epochs=1,
+        max_episode_steps=32,
+    )
+    func_env = CartPoleFunctional()
+    state, env_params, tx = init_ppo(func_env, config, jax.random.PRNGKey(0))
+    state = shard_ppo_state(state, mesh, axis=("hosts", "chips"))
+    train_step = jax.jit(make_train_step(func_env, config, env_params, tx))
+    ctx = jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else mesh
+    with ctx:
+        ppo_hlo = train_step.lower(state).compile().as_text()
+
+    # --- trajectory egress: sharded rollout -> replicated learner ----------
+    traj = jax.device_put(
+        jnp.zeros((num_envs_total, 8, 4), jnp.float32), env_sharding
+    )
+    egress = (
+        jax.jit(lambda t: t, out_shardings=replicated(mesh))
+        .lower(traj)
+        .compile()
+        .as_text()
+    )
+
+    return {
+        "hosts": hosts,
+        "chips": chips,
+        "env_step": {
+            "collectives": count_collectives(step_hlo),
+            "by_axis": count_collectives_by_axis(step_hlo, hosts, chips),
+        },
+        "ppo_train_step": {
+            "collectives": count_collectives(ppo_hlo),
+            "by_axis": count_collectives_by_axis(ppo_hlo, hosts, chips),
+        },
+        "trajectory_egress": {
+            "collectives": count_collectives(egress),
+            "by_axis": count_collectives_by_axis(egress, hosts, chips),
+        },
+    }
+
+
+def wallclock_weak_scaling(mesh_sizes, per_device_envs: int = 512, steps: int = 64) -> dict:
+    """Secondary wall-clock signal: fixed TOTAL work per device as the mesh
+    grows (weak scaling). On the single-core virtual CPU mesh, total work
+    grows with n and the wall-clock grows with it, so the honest derived
+    quantity is the PARTITION OVERHEAD: t(n) / (n · t(1)) — 1.0 means the
+    n-way-sharded program costs exactly n single-device programs (no
+    sharding-induced extra work or communication); values well above 1
+    flag overhead real hardware would also pay. Real weak-scaling wall-clock
+    needs real chips (the driver's bench covers 1-chip throughput)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from gymnasium_tpu.envs.phys2d.cartpole import CartPoleFunctional
+    from gymnasium_tpu.vector.jax_vector_env import JaxVectorEnv
+
+    cpu = jax.devices("cpu")
+    out = {}
+    t1 = None
+    for n in mesh_sizes:
+        devs = cpu[:n]
+        num_envs = per_device_envs * n
+        sharding = None
+        if n > 1:
+            mesh = jax.sharding.Mesh(
+                __import__("numpy").asarray(devs).reshape(max(n // 4, 1), -1),
+                ("hosts", "chips"),
+            )
+            sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(("hosts", "chips"))
+            )
+        env = JaxVectorEnv(
+            CartPoleFunctional(),
+            num_envs=num_envs,
+            max_episode_steps=500,
+            seed=0,
+            sharding=sharding,
+        )
+        env.reset(seed=0)
+        carry, traj = env.rollout(steps, unroll=1)
+        jax.block_until_ready(carry)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            carry, traj = env.rollout(steps, carry=carry, unroll=1)
+        jax.block_until_ready(carry)
+        dt = (time.perf_counter() - t0) / 3
+        if t1 is None:
+            t1 = dt
+        out[str(n)] = {
+            "per_device_envs": per_device_envs,
+            "wall_s": round(dt, 4),
+            "partition_overhead": round(dt / (n * t1), 4),
+        }
+    return out
+
+
 def build_report(num_envs_total: int = 64) -> dict:
     import jax
 
@@ -153,6 +342,12 @@ def build_report(num_envs_total: int = 64) -> dict:
             devs, num_envs_total, family="articulated"
         )
         report["ppo_train_step"][str(n)] = analyze_ppo_step(devs, num_envs_total)
+    # two-level hosts x chips factorizations of the full 8-device mesh
+    report["two_level"] = {
+        f"{hosts}x{8 // hosts}": analyze_two_level(cpu[:8], hosts, num_envs_total)
+        for hosts in (2, 4)
+    }
+    report["wallclock_weak_scaling"] = wallclock_weak_scaling(MESH_SIZES)
     return report
 
 
@@ -164,6 +359,23 @@ def check_report(report: dict) -> list[str]:
             total = sum(entry["collectives"].values())
             if total != 0:
                 problems.append(f"{section} at mesh={n}: {total} collectives (want 0)")
+    for label, entry in report.get("two_level", {}).items():
+        env_total = sum(entry["env_step"]["collectives"].values())
+        if env_total != 0:
+            problems.append(
+                f"two_level {label} env_step: {env_total} collectives (want 0 on "
+                "both hosts and chips axes)"
+            )
+        ppo_axes = entry["ppo_train_step"]["by_axis"]
+        if ppo_axes["both"] + ppo_axes["hosts"] + ppo_axes["chips"] == 0:
+            problems.append(
+                f"two_level {label} ppo_train_step: no learner all-reduce found"
+            )
+        egress = entry["trajectory_egress"]["collectives"]
+        if egress.get("all-gather", 0) < 1:
+            problems.append(
+                f"two_level {label} trajectory_egress: expected an all-gather"
+            )
     ppo = report["ppo_train_step"]
     multi = {n: e for n, e in ppo.items() if int(n) > 1}
     counts = {n: sum(e["collectives"].values()) for n, e in multi.items()}
