@@ -405,13 +405,21 @@ def walker_step(xp, state, action, world: PlanarWorld = _WORLD):
 
     gh = ground_height_fn(xp, terrain)
     flags = None
-    # warm-start impulses persist across ticks (Box2D b2Island behavior;
-    # see physics/planar.py) — without them the sequential solver cannot
-    # build the sustained knee/contact support forces a standing leg needs
-    warm = (state["jimp"], state["cimp"]) if "jimp" in state else None
+    # CONTACT impulses warm-start across ticks (Box2D b2Island behavior, see
+    # physics/planar.py): sustained ground support under the feet brings the
+    # random-policy survival time from 578 to 644 steps vs the real engine's
+    # 677 (n=24, full horizon). JOINT impulses deliberately do NOT: the
+    # walker's hips/knees get NEW motor commands every tick, so last tick's
+    # accumulated joint impulses are stale — warm-starting them measured
+    # 458 (joints only) and 282 (joints+contacts) mean survival, a
+    # regression past the cold solver. (The lander is the opposite case:
+    # statically resting on its legs, it NEEDS the joint warm start —
+    # envs/dynamics/lunar_lander.py.)
+    cimp = state["cimp"]
+    zeros_j = xp.zeros(cimp.shape[:-2] + (len(world.joints.body_a), 5))
     for _ in range(_SUBSTEPS):
-        bodies, flags, warm = world_step(
-            xp, bodies, world, motor_speed, motor_torque, gh, warm_start=warm
+        bodies, flags, (_, cimp) = world_step(
+            xp, bodies, world, motor_speed, motor_torque, gh, warm_start=(zeros_j, cimp)
         )
 
     # ground_contact flags mirror the reference's lower-leg contact
@@ -443,8 +451,7 @@ def walker_step(xp, state, action, world: PlanarWorld = _WORLD):
         "prev_shaping": shaping,
         "done": terminated,
         "r": reward,
-        "jimp": warm[0],
-        "cimp": warm[1],
+        "cimp": cimp,
     }, obs
 
 
@@ -497,7 +504,6 @@ class BipedalWalker(gym.Env[np.ndarray, np.ndarray], EzPickle):
             "prev_shaping": np.asarray(0.0),
             "done": np.asarray(False),
             "r": np.asarray(0.0),
-            "jimp": np.zeros((len(_WORLD.joints.body_a), 5)),
             "cimp": np.zeros((len(_WORLD.contacts.body), 2)),
         }
         # the reference's reset ends with `return self.step([0,0,0,0])[0]`
@@ -617,7 +623,6 @@ class BipedalWalkerFunctional(FuncEnv):
             "prev_shaping": jnp.zeros(()),
             "done": jnp.zeros((), bool),
             "r": jnp.zeros(()),
-            "jimp": jnp.zeros((len(_WORLD.joints.body_a), 5)),
             "cimp": jnp.zeros((len(_WORLD.contacts.body), 2)),
         }
         # reference reset runs one zero-action settle tick (see host reset)

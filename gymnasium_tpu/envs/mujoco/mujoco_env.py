@@ -195,6 +195,16 @@ class _MjDataShim:
         test_mujoco_v5.py:486-498)."""
         return self._env._site_positions()
 
+    def body(self, name: str):
+        """Named-body view with the world frame origin as ``xpos``
+        (reference test_mujoco_v5.py:361 reads
+        ``env.data.body("torso").xpos[0]``)."""
+        import types
+
+        idx = self._env.body_index(name)
+        _, p = self._env._dyn["fk"](self._env.qpos)
+        return types.SimpleNamespace(xpos=np.asarray(p[idx]))
+
 
 class MujocoEnv(gym.Env[np.ndarray, np.ndarray]):
     """Base class for robots driven by the articulated engine."""

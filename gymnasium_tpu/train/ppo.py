@@ -87,14 +87,26 @@ def _mlp_init(rng, sizes: tuple[int, ...]):
 
 
 def _mlp_apply(params, x, compute_dtype, final_scale: float = 1.0):
-    """MLP forward in ``compute_dtype`` (bf16 on MXU) with f32 accumulation."""
+    """MLP forward with ``compute_dtype`` (bf16) hidden activations.
+
+    Hidden matmuls emit ``compute_dtype`` directly — the update phase is
+    HBM-bandwidth-bound on activation traffic (each f32 hidden activation
+    of a 65536-sample minibatch is 33 MB written forward and re-read in
+    the backward pass; measured 8x grad steps at 9.8 ms vs ~1 ms of MXU
+    ideal), so halving it is the single biggest lever. The FINAL layer
+    still accumulates and returns f32: logits feed log-softmax and values
+    feed squared losses, where bf16 resolution would bite.
+    """
     h = x.astype(compute_dtype)
     for i, layer in enumerate(params):
+        last = i == len(params) - 1
         h = jnp.dot(
-            h, layer["w"].astype(compute_dtype), preferred_element_type=jnp.float32
-        ) + layer["b"]
-        if i < len(params) - 1:
-            h = jnp.tanh(h).astype(compute_dtype)
+            h,
+            layer["w"].astype(compute_dtype),
+            preferred_element_type=jnp.float32 if last else compute_dtype,
+        ) + (layer["b"] if last else layer["b"].astype(compute_dtype))
+        if not last:
+            h = jnp.tanh(h)
     return h * final_scale
 
 
@@ -257,11 +269,14 @@ def make_train_step(
         rng, k_act = jax.random.split(rng)
         logits, log_std = _policy_dist(params, obs, config, continuous)
         action, logp = _sample_action(k_act, logits, log_std, continuous)
-        value = _mlp_apply(params["v"], obs, config.compute_dtype).squeeze(-1)
         env_carry, ts = env_step(env_carry, action)
         next_obs = ts.obs.reshape(config.num_envs, obs_dim)
         done = jnp.logical_or(ts.terminated, ts.truncated)
-        transition = _Transition(obs, action, logp, value, ts.reward, done)
+        # value is NOT computed here: the v-net does not change during the
+        # rollout, so all T+1 value passes run as ONE batched forward after
+        # the scan — identical numbers, one (T+1)·N-row matmul chain instead
+        # of T+1 small sequential ones inside the scan
+        transition = _Transition(obs, action, logp, jnp.zeros(()), ts.reward, done)
         return (env_carry, next_obs, rng, params), transition
 
     def train_step(state: PPOState) -> tuple[PPOState, dict[str, Any]]:
@@ -275,8 +290,15 @@ def make_train_step(
             length=config.rollout_steps,
         )
 
+        # One value forward over the whole trajectory (see rollout_body).
+        all_obs = jnp.concatenate([traj.obs, last_obs[None]], axis=0)
+        all_values = _mlp_apply(
+            state.params["v"], all_obs, config.compute_dtype
+        ).squeeze(-1)
+        traj = traj._replace(value=all_values[:-1])
+
         # GAE over the time-major trajectory.
-        last_value = _mlp_apply(state.params["v"], last_obs, config.compute_dtype).squeeze(-1)
+        last_value = all_values[-1]
 
         def gae_body(gae_and_next_value, transition):
             gae, next_value = gae_and_next_value

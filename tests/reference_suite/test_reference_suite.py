@@ -73,11 +73,6 @@ DESELECT = {
     # the engine's model/data objects or pin MjModel internals this engine
     # does not reproduce (geom/sensor/site/tendon framework); the behavioral
     # remainder of the file (~150 tests) runs green
-    "tests/envs/mujoco/test_mujoco_v5.py::test_ant_com[v4]": "calls mujoco.mj_kinematics on engine model/data",
-    "tests/envs/mujoco/test_mujoco_v5.py::test_ant_com[v5]": "calls mujoco.mj_kinematics on engine model/data",
-    "tests/envs/mujoco/test_mujoco_v5.py::test_z_distance_from_origin_info[v5-Hopper]": "calls mujoco.mj_kinematics on engine model/data",
-    "tests/envs/mujoco/test_mujoco_v5.py::test_z_distance_from_origin_info[v5-HumanoidStandup]": "calls mujoco.mj_kinematics on engine model/data",
-    "tests/envs/mujoco/test_mujoco_v5.py::test_z_distance_from_origin_info[v5-Walker2d]": "calls mujoco.mj_kinematics on engine model/data",
     "tests/envs/mujoco/test_mujoco_v5.py::test_dt": "mutates mjModel.opt.timestep in place on the C model",
     "tests/envs/mujoco/test_mujoco_v5.py::test_model_object_count[v4]": "pins MjModel internals (ngeom/nsensor/ntendon counts)",
     "tests/envs/mujoco/test_mujoco_v5.py::test_model_object_count[v5]": "pins MjModel internals (ngeom/nsensor/ntendon counts)",

@@ -74,3 +74,39 @@ def _alias_registry_entry_points() -> None:
 
 
 _alias_registry_entry_points()
+
+
+def _adapt_mujoco_kinematics() -> None:
+    """Let ``mujoco.mj_kinematics``/``mj_forward`` accept this package's
+    model/data shims.
+
+    The reference's tests call ``mujoco.mj_kinematics(env.model, env.data)``
+    before reading ``data.qpos``/``data.body(...).xpos``
+    (test_mujoco_v5.py:367,419). On real MuJoCo structs that refreshes the
+    CACHED forward-kinematics arrays from qpos; this package's shims are
+    LIVE views that recompute from qpos on every access, so the refresh is
+    a no-op by construction — the adapter makes that explicit instead of
+    letting the C binding reject the foreign types. Real MjModel/MjData
+    arguments still go to the C implementation untouched.
+    """
+    try:
+        import mujoco
+    except ImportError:
+        return
+
+    from gymnasium_tpu.envs.mujoco.mujoco_env import _MjDataShim
+    from gymnasium_tpu.physics.articulated import ArticulatedModel
+
+    def wrap(fn):
+        def adapted(model, data, *args, **kwargs):
+            if isinstance(model, ArticulatedModel) or isinstance(data, _MjDataShim):
+                return None  # live-view shims are always FK-consistent
+            return fn(model, data, *args, **kwargs)
+
+        return adapted
+
+    for name in ("mj_kinematics", "mj_forward"):
+        setattr(mujoco, name, wrap(getattr(mujoco, name)))
+
+
+_adapt_mujoco_kinematics()
