@@ -184,7 +184,31 @@ def build_world(dt_substeps: int = 4, iters: int = 12) -> PlanarWorld:
 # ~0.05 rad/frame through its hard limit (the split-sit collapse), at 12/8
 # the limit holds and the zero-action fall time lands at 90-100 frames vs
 # the reference's 114.
-_WORLD = build_world()._replace(position_iterations=8)
+#
+# joint_correction_clamp=0.2: Box2D-style bounded position sub-pulls
+# (physics/planar.py) — measured neutral-positive on random-policy survival
+# (453 -> 456 mean steps, n=64, horizon 1600; reference: 619).
+#
+# Round-5 survival-parity investigation (the remaining ~26% episode-length
+# deficit; reference tests/envs: random-policy distribution gates pass,
+# KS p=0.21, mean gap 1.46 SE):
+# - Death-cause census (n=64): all terminations are hull-contact in both
+#   engines; ours cluster at mean t=70 vs the reference's 104, and 25% of
+#   episodes reach the 1600-step horizon vs the reference's 34%.
+# - Matched-state zero-action traces (both engines force-set to the
+#   creation pose): both reach the same deep crouch; divergence appears
+#   only under ACTIVE motor commands.
+# - Per-joint motor-response probes from the natural post-reset state
+#   (constant single-joint commands, obs traces vs the live engine): the
+#   real engine straightens a LOADED knee from -0.88 to -0.02 rad in 4
+#   frames (full commanded SPEED_KNEE); ours moves ~40% of that. The
+#   load path motor -> thigh -> hip point constraint -> hull converges
+#   slower in 4x12 cold-started Gauss-Seidel iterations than in Box2D's
+#   180 warm-started ones. Candidate fixes measured and rejected at
+#   n=64/h=1600: intra-tick joint warm start (389), cross-tick joint warm
+#   start (282-458, round 4), substeps=1 with vi=30/pi=15 (no change),
+#   knee-probe friction (no change).
+_WORLD = build_world()._replace(position_iterations=8, joint_correction_clamp=0.2)
 _SUBSTEPS = 4
 
 _LEG_CONTACT_IDX = [(0, 1), (2, 3)]  # foot probe indices per leg

@@ -70,6 +70,15 @@ class PlanarWorld(NamedTuple):
     baumgarte: float = 0.2  # position-pass contact correction factor (b2_baumgarte)
     contact_slop: float = 0.005
     max_correction: float = 0.2  # per-iteration position clamp (b2_maxLinearCorrection)
+    # Per-iteration clamp on the JOINT point-constraint position correction.
+    # 0.0 = solve the full anchor error in one shot per iteration (default).
+    # >0 = Box2D-style bounded sub-pulls: each iteration corrects at most
+    # this many metres of anchor error, so a large violation (e.g. the
+    # walker's 0.53 m creation-pose hip detachment) is resolved over several
+    # iterations, transiently rotating the light links exactly like the real
+    # engine's assembly transient (observed: Box2D bends the walker's knees
+    # to 0.86 rad for one frame while snapping the legs up).
+    joint_correction_clamp: float = 0.0
 
 
 def _rot(xp, px, py, c, s):
@@ -362,11 +371,18 @@ def world_step(
             )
             errx = (pos[..., b, 0] + rbx) - (pos[..., a, 0] + rax)
             erry = (pos[..., b, 1] + rby) - (pos[..., a, 1] + ray)
-            # NO clamp here: b2RevoluteJoint solves the full point error per
-            # iteration. Clamping re-rotates light links every sub-pull (the
-            # anchor lever grows as the link rotates — positive feedback that
-            # bent the walker's knees 0.76 rad during assembly); the full
-            # one-shot solve rotates once and converges.
+            if world.joint_correction_clamp > 0.0:
+                # Box2D-style bounded sub-pull (see PlanarWorld): correct at
+                # most `joint_correction_clamp` metres of anchor error per
+                # iteration. Re-rotates light links every sub-pull — the
+                # real engine's assembly transient (knees bent ~0.86 rad for
+                # one frame while the legs snap up to the hull).
+                err_len = xp.sqrt(errx * errx + erry * erry)
+                scale = xp.minimum(1.0, world.joint_correction_clamp / xp.maximum(err_len, 1e-9))
+                errx = errx * scale
+                erry = erry * scale
+            # else: solve the full point error in one shot per iteration —
+            # rotates once and converges without the transient.
 
             k11 = inv_m[a] + inv_m[b] + inv_i[a] * ray * ray + inv_i[b] * rby * rby
             k12 = -inv_i[a] * rax * ray - inv_i[b] * rbx * rby
