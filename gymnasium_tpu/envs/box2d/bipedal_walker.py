@@ -440,11 +440,19 @@ def walker_step(xp, state, action, world: PlanarWorld = _WORLD):
     # statically resting on its legs, it NEEDS the joint warm start —
     # envs/dynamics/lunar_lander.py.)
     cimp = state["cimp"]
-    zeros_j = xp.zeros(cimp.shape[:-2] + (len(world.joints.body_a), 5))
+    # Cross-tick JOINT warm start is opt-in via a "jimp" state key (present
+    # only when the world is configured for it — Box2D warm-starts joints
+    # across steps, but at 4 substeps the stale-impulse semantics measured
+    # worse; the faithful single-substep configuration carries it).
+    jimp = state.get("jimp")
+    carry_joints = jimp is not None
+    if jimp is None:
+        jimp = xp.zeros(cimp.shape[:-2] + (len(world.joints.body_a), 5))
     for _ in range(_SUBSTEPS):
-        bodies, flags, (_, cimp) = world_step(
-            xp, bodies, world, motor_speed, motor_torque, gh, warm_start=(zeros_j, cimp)
+        bodies, flags, (new_jimp, cimp) = world_step(
+            xp, bodies, world, motor_speed, motor_torque, gh, warm_start=(jimp, cimp)
         )
+        jimp = new_jimp if carry_joints else jimp
 
     # ground_contact flags mirror the reference's lower-leg contact
     # listener (any part of the shank box, foot or knee end)
@@ -469,14 +477,17 @@ def walker_step(xp, state, action, world: PlanarWorld = _WORLD):
     terminated = crashed | finished
     reward = xp.where(crashed, -100.0, reward)
 
-    return {
+    out = {
         "bodies": bodies,
         "terrain": terrain,
         "prev_shaping": shaping,
         "done": terminated,
         "r": reward,
         "cimp": cimp,
-    }, obs
+    }
+    if carry_joints:
+        out["jimp"] = jimp
+    return out, obs
 
 
 def _asfloat(xp, b):
